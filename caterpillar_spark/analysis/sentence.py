@@ -1,0 +1,107 @@
+"""Sentence segmentation.
+
+The reference splits sentences with NLTK's pre-trained Punkt model
+(``nltk.data.load('tokenizers/punkt/english.pickle')`` with
+``realign_boundaries=True``, reference processing/index.py:377-378, 440).
+Punkt (and its trained pickle) is not available in this environment, so
+this module provides a deterministic rule-based splitter with
+Punkt-compatible behavior on common cases:
+
+* boundaries at ``. ! ? …`` runs followed by whitespace;
+* trailing closing quotes/brackets are attached to the finished sentence
+  (Punkt's ``realign_boundaries``);
+* no split after common abbreviations (``Mr.``, ``e.g.``, month names),
+  single-letter initials (``J. Smith``), or when the next word starts
+  lowercase (mid-sentence ellipsis/abbreviation);
+* decimal points and internal punctuation never split (boundary requires
+  following whitespace).
+
+DEVIATION (documented): corpora that depend on Punkt's learned,
+corpus-specific abbreviation statistics may segment slightly differently
+than the reference.  Everything downstream (framing, positions, index,
+scores) is deterministic given these boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import regex
+
+#: Common English abbreviations that do not end a sentence (lowercase,
+#: without the trailing period).
+ABBREVIATIONS = frozenset(
+    """
+    mr mrs ms dr prof st mt no nos vs etc jr sr rev hon gen col capt lt
+    sgt maj cmdr adm gov sen rep pres supt insp messrs mme mlle
+    e.g i.e cf al viz sc ca approx
+    inc ltd co corp bros dept div est fig figs
+    jan feb mar apr jun jul aug sep sept oct nov dec
+    mon tue tues wed thu thur thurs fri sat sun
+    u.s u.k u.n a.m p.m a.d b.c
+    """.split()
+)
+
+#: Characters that may close a sentence after the terminal punctuation.
+_CLOSERS = "\"'”’»)\\]"
+
+# A candidate boundary: terminal punctuation run + optional closers,
+# followed by whitespace (or end of text).
+_BOUNDARY_RE = regex.compile(
+    r"[.!?…]+[%s]*(?=\s|$)" % _CLOSERS, regex.UNICODE
+)
+
+_WORD_BEFORE_RE = regex.compile(r"(\S+)$", regex.UNICODE)
+_NEXT_NONSPACE_RE = regex.compile(r"\s*(\S)", regex.UNICODE)
+
+
+def _is_abbreviation(word: str) -> bool:
+    """Is ``word`` (including its trailing period) a non-terminal
+    abbreviation or initial?"""
+    w = word.rstrip(".").lower().lstrip("(\"'“‘«[")
+    if not w:
+        return False
+    if w in ABBREVIATIONS:
+        return True
+    # Single-letter initial: "J." in "J. Smith"
+    if len(w) == 1 and w.isalpha():
+        return True
+    # Multi-dot initialisms: "u.s.a", "ph.d"
+    if "." in w and all(len(p) <= 2 for p in w.split(".") if p):
+        return True
+    return False
+
+
+def split_sentences(text: str) -> List[str]:
+    """Split a paragraph into sentences.  Whitespace between sentences is
+    consumed; internal whitespace is preserved verbatim."""
+    if not text:
+        return []
+    boundaries: List[int] = []  # end offsets (exclusive) of sentences
+    for m in _BOUNDARY_RE.finditer(text):
+        end = m.end()
+        if end >= len(text):
+            break  # trailing boundary — the tail flush below handles it
+        punct = m.group(0)
+        if "!" not in punct and "?" not in punct and "…" not in punct:
+            # A plain period run: apply abbreviation / context rules.
+            before = _WORD_BEFORE_RE.search(text, 0, m.start())
+            word = (before.group(1) + ".") if before else "."
+            if _is_abbreviation(word):
+                continue
+            nxt = _NEXT_NONSPACE_RE.match(text, end)
+            if nxt and nxt.group(1).islower():
+                continue  # next word lowercase → not a sentence start
+        boundaries.append(end)
+
+    sentences: List[str] = []
+    start = 0
+    for end in boundaries:
+        seg = text[start:end].strip()
+        if seg:
+            sentences.append(seg)
+        start = end
+    tail = text[start:].strip()
+    if tail:
+        sentences.append(tail)
+    return sentences
