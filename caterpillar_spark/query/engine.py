@@ -1,0 +1,314 @@
+"""Boolean retrieval + scoring over the inverted index.
+
+Semantics spec: reference ``IndexReader.filter`` / ``filter_and_rank``
+(processing/index.py:1157-1328) and the generated SQL in
+``rank_or_filter_unstructured`` (storage/sqlite.py:1201-1474):
+
+* ``must``      — every term group present (count of distinct matched
+                  must-groups == number of must groups);
+* ``should``    — contributes matches/score; a frame qualifies by
+                  containing any positive query term;
+* ``at_least_n``— ``(n, [terms])``: at least n distinct terms of the
+                  list present;
+* ``must_not``  — frames containing the term are excluded; requires at
+                  least one positive term (like the reference,
+                  sqlite.py:1279-1284);
+* term variants — a tuple of terms acts as one logical term (same
+                  group id), reference index.py:1211-1217.
+
+Scoring:
+
+* ``tfidf`` — the reference formula (sqlite.py:1321-1348):
+  ``idf = 1 + ln(n_frames / (frame_freq + 1))``, frame score =
+  ``sum(freq_in_frame * idf)`` over matched, non-excluded query terms.
+  DEVIATION (documented): the reference runs on Python 2 where the
+  division is *integer* division; we use true division.  Ranking order
+  is unaffected for single-term queries and differs only in rare
+  near-tie multi-term cases.
+* ``bm25`` — Okapi BM25 (k1=1.2, b=0.75 defaults):
+  ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+  ``score = sum(idf * f*(k1+1) / (f + k1*(1 - b + b*dl/avgdl)))`` with
+  dl = frame token count, avgdl from field statistics.  This is the
+  engine's headline scorer per the build target.
+
+Execution shape (Spark-first):
+
+1. the query's term list is resolved against ``term_stats`` — a
+   partition-pruned parquet read of only the buckets the query terms
+   hash into — and weights are computed driver-side (the analog of the
+   reference's precomputed ``term_search_driver`` temp table);
+2. the tiny weighted-terms relation is **broadcast-joined** into the
+   postings scan, itself pruned to the same term buckets and filtered
+   by field scoping / metadata predicates on denormalized columns;
+3. one partial-aggregated ``groupBy`` per retrieval unit (frame or
+   document) computes score and the boolean HAVING counters;
+4. top-k runs as ``orderBy(...).limit(k)`` which Catalyst executes as
+   per-partition top-k + single merge (TakeOrderedAndProject) — no full
+   sort at scale.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from caterpillar_spark.framing import frames_to_postings
+from caterpillar_spark.indexing.build import (
+    field_statistics,
+    term_statistics,
+)
+
+TermSpec = Union[str, Tuple[str, ...]]
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@dataclass
+class MemoryIndex:
+    """Index views computed on the fly from a frames DataFrame (no
+    persisted layout; used by tests and small interactive jobs)."""
+
+    frames: DataFrame
+
+    def postings(self) -> DataFrame:
+        return frames_to_postings(self.frames)
+
+    def term_stats(self) -> DataFrame:
+        return term_statistics(self.postings())
+
+    def field_stats(self) -> DataFrame:
+        return field_statistics(self.frames)
+
+    def num_buckets(self) -> Optional[int]:
+        return None
+
+
+def _groups(
+    must: Sequence[TermSpec],
+    should: Sequence[TermSpec],
+    at_least_n: Optional[Tuple[int, Sequence[TermSpec]]],
+    must_not: Sequence[TermSpec],
+):
+    """Flatten term specs to (term, group_id, kind) rows; variants in a
+    tuple share a group id."""
+    rows: List[Tuple[str, int, str]] = []
+    gid = 0
+    for kind, specs in (("must", must), ("should", should)):
+        for spec in specs:
+            variants = (spec,) if isinstance(spec, str) else tuple(spec)
+            rows.extend((v, gid, kind) for v in variants)
+            gid += 1
+    if at_least_n:
+        for spec in at_least_n[1]:
+            variants = (spec,) if isinstance(spec, str) else tuple(spec)
+            rows.extend((v, gid, "nmin") for v in variants)
+            gid += 1
+    for spec in must_not:
+        variants = (spec,) if isinstance(spec, str) else tuple(spec)
+        rows.extend((v, gid, "exclude") for v in variants)
+        gid += 1
+    return rows
+
+
+def _field_scope(df: DataFrame, include_fields, exclude_fields) -> DataFrame:
+    if include_fields:
+        return df.where(F.col("field").isin(list(include_fields)))
+    if exclude_fields:
+        return df.where(~F.col("field").isin(list(exclude_fields)))
+    return df
+
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "in": lambda c, v: c.isin(list(v)),
+    "*=": lambda c, v: c.rlike(v),
+}
+
+
+def metadata_predicate(metadata: Dict[str, Dict[str, object]]) -> Column:
+    """Conjunctive document-metadata predicate over denormalized columns
+    (reference _validate_analyse_metadata op set, index.py:1382-1428)."""
+    pred = F.lit(True)
+    for field, conds in metadata.items():
+        for op, value in conds.items():
+            if op not in _OPS:
+                raise ValueError(f"Unsupported metadata operator {op!r}")
+            pred = pred & _OPS[op](F.col(field), value)
+    return pred
+
+
+def filter_metadata(frames: DataFrame, metadata) -> DataFrame:
+    """Metadata-only fast path (reference sqlite.py:1103-1198): no
+    posting join at all, just a pruned frame scan."""
+    return frames.where(metadata_predicate(metadata))
+
+
+def _resolve_weights(
+    index,
+    terms: List[Tuple[str, int, str]],
+    include_fields,
+    exclude_fields,
+    scorer: str,
+) -> Tuple[Dict[str, float], float, float]:
+    """Driver-side weight resolution from pruned statistics reads.
+
+    Returns ({term: weight}, n_frames, avgdl).  Missing terms get
+    weight 0 (reference sqlite.py:1340-1348).
+    """
+    term_values = sorted({t for t, _, _ in terms})
+    stats = _field_scope(index.term_stats(), include_fields, exclude_fields)
+    rows = (
+        stats.where(F.col("term").isin(term_values))
+        .groupBy("term")
+        .agg(F.sum("frames_occuring").alias("ff"))
+        .collect()
+    )
+    ff = {r["term"]: r["ff"] for r in rows}
+
+    fstats = _field_scope(index.field_stats(), include_fields, exclude_fields)
+    agg = fstats.agg(
+        F.sum("frame_count").alias("n"), F.sum("token_count").alias("tok")
+    ).collect()[0]
+    n_frames = float(agg["n"] or 0)
+    avgdl = (agg["tok"] / agg["n"]) if agg["n"] else 1.0
+
+    weights: Dict[str, float] = {}
+    for t in term_values:
+        df_t = ff.get(t)
+        if df_t is None or n_frames == 0:
+            weights[t] = 0.0
+        elif scorer == "bm25":
+            weights[t] = math.log(1.0 + (n_frames - df_t + 0.5) / (df_t + 0.5))
+        else:
+            weights[t] = 1.0 + math.log(n_frames / (df_t + 1.0))
+    return weights, n_frames, avgdl
+
+
+def filter_frames(
+    index,
+    must: Sequence[TermSpec] = (),
+    should: Sequence[TermSpec] = (),
+    at_least_n: Optional[Tuple[int, Sequence[TermSpec]]] = None,
+    must_not: Sequence[TermSpec] = (),
+    metadata: Optional[dict] = None,
+    include_fields: Optional[Sequence[str]] = None,
+    exclude_fields: Optional[Sequence[str]] = None,
+    scorer: str = "tfidf",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    unit: str = "frame",
+) -> DataFrame:
+    """Boolean retrieval returning all qualifying units with scores.
+
+    Result columns: ``doc_id`` (+ ``frame_seq`` when unit='frame'),
+    ``score``.  Use :func:`search` for ranked top-k.
+    """
+    if not (must or should or at_least_n):
+        raise ValueError("need at least one positive term (must/should/at_least_n)")
+    spark = index.frames.sparkSession if isinstance(index, MemoryIndex) else index.spark
+
+    rows = _groups(must, should, at_least_n or None, must_not)
+    weights, n_frames, avgdl = _resolve_weights(
+        index, rows, include_fields, exclude_fields, scorer
+    )
+    if all(weights[t] == 0.0 for t, _, kind in rows if kind != "exclude"):
+        # Early exit: no positive term exists in the index
+        # (reference sqlite.py:1340-1345).
+        schema = "doc_id long, frame_seq int, score double" if unit == "frame" \
+            else "doc_id long, score double"
+        return spark.createDataFrame([], schema)
+
+    qdf = spark.createDataFrame(
+        [(t, g, kind, float(weights[t])) for t, g, kind in rows],
+        "term string, group_id int, kind string, weight double",
+    )
+
+    posts = index.postings()
+    nb = index.num_buckets()
+    if nb:
+        import pyspark.sql.functions as SF
+
+        buckets = {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t, _, _ in rows], "term string")
+            .select(SF.pmod(SF.xxhash64("term"), SF.lit(nb)).cast("int").alias("b"))
+            .distinct()
+            .collect()
+        }
+        posts = posts.where(F.col("term_bucket").isin(sorted(buckets)))
+    posts = _field_scope(posts, include_fields, exclude_fields)
+    if metadata:
+        posts = posts.where(metadata_predicate(metadata))
+
+    joined = posts.join(F.broadcast(qdf), "term")
+
+    positive = F.col("kind") != "exclude"
+    if scorer == "bm25":
+        contrib = F.col("weight") * (
+            F.col("freq") * (k1 + 1.0)
+        ) / (
+            F.col("freq")
+            + k1 * (1.0 - b + b * F.col("frame_tokens") / F.lit(avgdl))
+        )
+    else:
+        contrib = F.col("freq") * F.col("weight")
+
+    keys = ["doc_id"] if unit == "document" else ["doc_id", "frame_seq"]
+    n_must = len(set(g for _, g, kind in rows if kind == "must"))
+
+    agg = joined.groupBy(*keys).agg(
+        F.sum(F.when(positive, contrib).otherwise(0.0)).alias("score"),
+        F.countDistinct(
+            F.when(F.col("kind") == "must", F.col("group_id"))
+        ).alias("_must_hits"),
+        F.countDistinct(
+            F.when(F.col("kind") == "nmin", F.col("group_id"))
+        ).alias("_nmin_hits"),
+        F.max(F.when(~positive, 1).otherwise(0)).alias("_excluded"),
+        F.max(F.when(positive, 1).otherwise(0)).alias("_positive"),
+    )
+
+    cond = (F.col("_excluded") == 0) & (F.col("_positive") == 1)
+    if n_must:
+        cond = cond & (F.col("_must_hits") == n_must)
+    if at_least_n:
+        cond = cond & (F.col("_nmin_hits") >= at_least_n[0])
+    return agg.where(cond).select(*keys, "score")
+
+
+def search(
+    index,
+    k: int = 10,
+    unit: str = "frame",
+    pagination: Optional[Tuple[float, Tuple[int, ...]]] = None,
+    **kwargs,
+) -> DataFrame:
+    """Ranked top-k retrieval: score desc, (doc_id, frame_seq) asc
+    deterministic tie-break (reference sqlite.py:1452-1460 orders by
+    score desc, id asc).
+
+    ``pagination`` is a keyset resume point ``(score, ids)``: results
+    strictly after it in rank order (reference sqlite.py:1446-1453).
+    """
+    res = filter_frames(index, unit=unit, **kwargs)
+    keys = ["doc_id"] if unit == "document" else ["doc_id", "frame_seq"]
+    if pagination:
+        last_score, last_ids = pagination
+        tail = F.lit(False)
+        for i in range(len(keys)):
+            step = F.col("score") == F.lit(last_score)
+            for j in range(i):
+                step = step & (F.col(keys[j]) == F.lit(last_ids[j]))
+            step = step & (F.col(keys[i]) > F.lit(last_ids[i]))
+            tail = tail | step
+        res = res.where((F.col("score") < F.lit(last_score)) | tail)
+    order = [F.desc("score")] + [F.asc(c) for c in keys]
+    return res.orderBy(*order).limit(k)

@@ -1,0 +1,253 @@
+"""End-to-end index build + query tests.
+
+Golden counts ported from the reference suite
+(processing/test/test_index_search.py:383-427, test_index.py:52-61),
+run on the reference's public-domain alice corpus.  Two counts deviate
+by one frame from the reference due to the documented Punkt-replacement
+sentence splitter (see analysis/sentence.py): frames-per-doc 51 vs 52
+and Alice∧(thought∨little) 70 vs 69.  The other seven goldens are
+reference-exact.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from caterpillar_spark.analysis import TestAnalyser
+from caterpillar_spark.framing import build_frames, frames_to_postings
+from caterpillar_spark.indexing import build_index
+from caterpillar_spark.query import (
+    MemoryIndex,
+    boost,
+    exclude,
+    filter_frames,
+    filter_metadata,
+    match_all,
+    match_any,
+    score_and_rank,
+    search,
+)
+from caterpillar_spark.query.composition import from_scored
+
+REF_RESOURCES = "/root/reference/caterpillar/test_resources"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF_RESOURCES), reason="reference corpus not available"
+)
+
+
+@pytest.fixture(scope="module")
+def alice_index(spark):
+    with open(os.path.join(REF_RESOURCES, "alice.txt")) as f:
+        text = f.read()
+    docs = spark.createDataFrame([Row(doc_id=1, text=text)])
+    frames = build_frames(docs, analyser=TestAnalyser(), frame_size=2)
+    frames = frames.cache()
+    frames.count()
+    idx = MemoryIndex(frames)
+    # Materialize the stats once; MemoryIndex recomputes lazily otherwise.
+    yield idx
+    frames.unpersist()
+
+
+@needs_ref
+class TestAliceGoldens:
+    def n(self, idx, **kw):
+        return filter_frames(idx, **kw).count()
+
+    def test_should_single(self, alice_index):
+        assert self.n(alice_index, should=["King"]) == 59
+
+    def test_should_union(self, alice_index):
+        assert self.n(alice_index, should=["King", "Queen"]) == 122
+
+    def test_must(self, alice_index):
+        assert self.n(alice_index, must=["King", "Queen"]) == 4
+
+    def test_must_not(self, alice_index):
+        assert self.n(alice_index, should=["King"], must_not=["Queen"]) == 55
+
+    def test_compound_name_token(self, alice_index):
+        assert self.n(alice_index, should=["Mock Turtle"]) == 51
+
+    def test_voice(self, alice_index):
+        assert self.n(alice_index, should=["voice"]) == 46
+
+    def test_term_variants(self, alice_index):
+        # 70 vs reference 69: one frame grouping differs (sentence split).
+        assert self.n(alice_index, must=["Alice", ("thought", "little")]) == 70
+
+    def test_at_least_n(self, alice_index):
+        n2 = self.n(alice_index, at_least_n=(2, ["King", "Queen", "voice"]))
+        n_pairs = (
+            self.n(alice_index, must=["King", "Queen"])
+            + self.n(alice_index, must=["King", "voice"])
+            + self.n(alice_index, must=["Queen", "voice"])
+            - 2 * self.n(alice_index, must=["King", "Queen", "voice"])
+        )
+        assert n2 == n_pairs
+
+    def test_set_algebra_invariant(self, alice_index):
+        # |A∪B| = |A∧B| + |A\B| + |B\A| (reference test_index_search.py:93-112)
+        a, b = "King", "Queen"
+        union = self.n(alice_index, should=[a, b])
+        inter = self.n(alice_index, must=[a, b])
+        a_not_b = self.n(alice_index, should=[a], must_not=[b])
+        b_not_a = self.n(alice_index, should=[b], must_not=[a])
+        assert union == inter + a_not_b + b_not_a
+
+    def test_missing_term_early_exit(self, alice_index):
+        assert self.n(alice_index, should=["zzzqqqxxx"]) == 0
+
+    def test_requires_positive_term(self, alice_index):
+        with pytest.raises(ValueError):
+            filter_frames(alice_index, must_not=["King"])
+
+    def test_rank_deterministic_and_scored(self, alice_index):
+        top = search(alice_index, k=10, should=["King", "Queen"]).collect()
+        assert len(top) == 10
+        scores = [r["score"] for r in top]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        again = search(alice_index, k=10, should=["King", "Queen"]).collect()
+        assert top == again
+
+    def test_pagination_keyset(self, alice_index):
+        full = search(alice_index, k=20, should=["King", "Queen"]).collect()
+        first = full[:7]
+        last = first[-1]
+        rest = search(
+            alice_index,
+            k=13,
+            should=["King", "Queen"],
+            pagination=(last["score"], (last["doc_id"], last["frame_seq"])),
+        ).collect()
+        assert full[7:] == rest
+
+    def test_bm25_rank_sane(self, alice_index):
+        top = search(alice_index, k=5, should=["King"], scorer="bm25").collect()
+        assert len(top) == 5
+        assert all(r["score"] > 0 for r in top)
+
+    def test_document_unit(self, alice_index):
+        docs = filter_frames(alice_index, should=["King"], unit="document").collect()
+        assert len(docs) == 1  # single-document corpus
+        # Document score is the sum of its frame scores (sqlite.py:1219-1222).
+        frame_sum = (
+            filter_frames(alice_index, should=["King"])
+            .agg(F.sum("score"))
+            .collect()[0][0]
+        )
+        assert abs(docs[0]["score"] - frame_sum) < 1e-9
+
+
+@needs_ref
+def test_alice_frame_and_vocab_counts(spark):
+    with open(os.path.join(REF_RESOURCES, "alice_test_data.txt")) as f:
+        text = f.read()
+    docs = spark.createDataFrame([Row(doc_id=1, text=text)])
+    frames = build_frames(docs, analyser=TestAnalyser(), frame_size=2)
+    posts = frames_to_postings(frames)
+    # 51 vs reference 52: documented sentence-splitter deviation.
+    assert frames.count() == 51
+    assert posts.select("term").distinct().count() == 500
+    assert posts.where(F.col("term") == "Alice").count() == 23
+
+
+def test_composition_algebra(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana. apple cherry."),
+            Row(doc_id=2, text="banana cherry. banana date."),
+            Row(doc_id=3, text="apple banana cherry date."),
+            Row(doc_id=4, text="elderberry fig."),
+        ]
+    )
+    idx = MemoryIndex(build_frames(docs, frame_size=0).cache())
+    a = from_scored(filter_frames(idx, should=["apple"]))
+    b = from_scored(filter_frames(idx, should=["banana"]))
+    assert sorted(r["doc_id"] for r in match_all(a, b).collect()) == [1, 3]
+    assert sorted(r["doc_id"] for r in match_any(a, b).collect()) == [1, 2, 3]
+    assert sorted(r["doc_id"] for r in exclude(a, b).collect()) == []
+    assert sorted(r["doc_id"] for r in exclude(b, a).collect()) == [2]
+    ranked = score_and_rank(match_any(boost(a, 2.0), b), limit=10).collect()
+    assert len(ranked) == 3
+    assert ranked[0]["score"] >= ranked[-1]["score"]
+    # offset slicing
+    page2 = score_and_rank(match_any(a, b), limit=2, start=1).collect()
+    full = score_and_rank(match_any(a, b), limit=3).collect()
+    assert page2 == full[1:3]
+
+
+def test_metadata_filtering(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frames = build_frames(
+        docs, frame_size=0, metadata_cols=["lang", "n_chars"]
+    ).cache()
+    idx = MemoryIndex(frames)
+    en = filter_frames(idx, should=["table"], metadata={"lang": {"=": "en"}})
+    assert en.count() > 0
+    # metadata partition invariant: per-lang counts sum to the total
+    total = filter_frames(idx, should=["table"]).count()
+    langs = [r["lang"] for r in frames.select("lang").distinct().collect()]
+    parts = sum(
+        filter_frames(idx, should=["table"], metadata={"lang": {"=": l}}).count()
+        for l in langs
+    )
+    assert parts == total
+    # 'in' ≡ union of equalities
+    both = filter_frames(
+        idx, should=["table"], metadata={"lang": {"in": ["en", "de"]}}
+    ).count()
+    assert both == sum(
+        filter_frames(idx, should=["table"], metadata={"lang": {"=": l}}).count()
+        for l in ("en", "de")
+    )
+    # metadata-only fast path
+    assert filter_metadata(frames, {"lang": {"=": "en"}}).count() == \
+        frames.where("lang = 'en'").count()
+    frames.unpersist()
+
+
+def test_build_index_and_resume(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frames = build_frames(docs, frame_size=0, metadata_cols=["lang"]).cache()
+    path = str(tmp_path / "idx")
+    idx = build_index(frames, path, num_buckets=8, checkpoint_groups=4)
+    n_posts = idx.postings().count()
+    assert n_posts == frames_to_postings(frames).count()
+    assert idx.manifest["stats_done"]
+    assert len(idx.manifest["completed_slices"]) == 4
+
+    # Search through the persisted index matches the in-memory engine.
+    mem = MemoryIndex(frames)
+    got = search(idx, k=5, should=["spark", "table"]).collect()
+    want = search(mem, k=5, should=["spark", "table"]).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+    # Simulate a crash after slice 1: remove later slices' lineage and
+    # their parquet output, then resume.
+    manifest = idx.manifest
+    for g in ("2", "3"):
+        lo = manifest["completed_slices"][g]["bucket_lo"]
+        hi = manifest["completed_slices"][g]["bucket_hi"]
+        del manifest["completed_slices"][g]
+        for b in range(lo, hi):
+            shutil.rmtree(
+                os.path.join(path, "postings", f"term_bucket={b}"),
+                ignore_errors=True,
+            )
+    manifest["stats_done"] = False
+    import json
+
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+    idx2 = build_index(frames, path, num_buckets=8, checkpoint_groups=4)
+    assert idx2.postings().count() == n_posts
+    assert len(idx2.manifest["completed_slices"]) == 4
+    frames.unpersist()
