@@ -1,38 +1,685 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over
+the driver-provided parquet tables; every entry routes through the real
+engine code paths (framing -> postings -> statistics -> retrieval /
+ops), not ad-hoc SQL.  ``oracle_sql()`` holds the DuckDB-equivalent
+ANSI SQL for each entry.
+
+Tokenization parity note: the synthetic ``documents`` corpus is strictly
+lowercase ``[a-z0-9 ]`` single-spaced text, on which the engine's
+DefaultAnalyser chain (whitespace split, punctuation strip, empty
+stoplist) is exactly equivalent to ``str_split(text, ' ')`` — so the
+oracles reproduce the engine's terms, positions, frame sizes and score
+formulas bit-for-bit (scores rounded to 6 decimals on both sides).
+Rich-analyser behavior (compound names, possessives, stop marking,
+sentence windows) is separately verified against reference golden
+fixtures in tests/.
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+BOOL_TERMS_MUST = ["spark", "join"]
+BOOL_TERMS_SHOULD = ["vector", "stream"]
+TOPK_TERMS = ["spark", "table"]
+K = 20
+
+
+# --------------------------------------------------------------------------
+# shared engine plumbing
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@functools.lru_cache(maxsize=4)
+def _index_cached(sf_dir: str):
+    """Build the in-memory index once per sf_dir (queries share it)."""
+    from caterpillar_spark.framing import build_frames
+    from caterpillar_spark.query import MemoryIndex
+
+    spark = SparkSession.getActiveSession()
+    docs = _docs(spark, sf_dir)
+    frames = build_frames(
+        docs, text_cols=["text"], metadata_cols=["lang", "n_chars"], frame_size=2
+    ).persist()
+    frames.count()
+    return MemoryIndex(frames)
+
+
+def _rounded(df: DataFrame, col: str = "score", digits: int = 6) -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), digits))
+
+
+# --------------------------------------------------------------------------
+# fulltext query surface
+
+def q_term_frequencies(spark, sf_dir):
+    from caterpillar_spark.indexing import term_statistics
+
+    idx = _index_cached(sf_dir)
+    return term_statistics(idx.postings()).select(
+        "term", "total_occurrences", "frames_occuring", "docs_occuring"
+    )
+
+
+def q_field_statistics(spark, sf_dir):
+    idx = _index_cached(sf_dir)
+    return idx.field_stats().select(
+        "field",
+        "frame_count",
+        "doc_count",
+        "token_count",
+        F.round("avg_frame_tokens", 6).alias("avg_frame_tokens"),
+    )
+
+
+def _bool(spark, sf_dir, **kw):
+    from caterpillar_spark.query import filter_frames
+
+    idx = _index_cached(sf_dir)
+    return _rounded(filter_frames(idx, unit="document", **kw))
+
+
+def q_boolean_must(spark, sf_dir):
+    return _bool(spark, sf_dir, must=BOOL_TERMS_MUST)
+
+
+def q_boolean_should(spark, sf_dir):
+    return _bool(spark, sf_dir, should=BOOL_TERMS_SHOULD)
+
+
+def q_boolean_must_not(spark, sf_dir):
+    return _bool(spark, sf_dir, should=["spark"], must_not=["join"])
+
+
+def q_boolean_at_least_n(spark, sf_dir):
+    return _bool(spark, sf_dir, at_least_n=(2, ["spark", "join", "hash"]))
+
+
+def q_term_variants(spark, sf_dir):
+    return _bool(spark, sf_dir, must=[("vector", "stream"), "spark"])
+
+
+def q_tfidf_topk(spark, sf_dir):
+    from caterpillar_spark.query import search
+
+    idx = _index_cached(sf_dir)
+    return _rounded(
+        search(idx, k=K, unit="document", should=TOPK_TERMS, scorer="tfidf")
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    from caterpillar_spark.query import search
+
+    idx = _index_cached(sf_dir)
+    return _rounded(
+        search(idx, k=K, unit="document", should=TOPK_TERMS, scorer="bm25")
+    )
+
+
+def q_metadata_search(spark, sf_dir):
+    return _bool(
+        spark, sf_dir, should=["table"], metadata={"lang": {"=": "en"}}
+    )
+
+
+def q_metadata_only(spark, sf_dir):
+    from caterpillar_spark.query import filter_metadata
+
+    idx = _index_cached(sf_dir)
+    return filter_metadata(
+        idx.frames, {"lang": {"=": "en"}, "n_chars": {">=": 200}}
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_associations(spark, sf_dir):
+    from caterpillar_spark.query.analytics import associations
+
+    idx = _index_cached(sf_dir)
+    return associations(idx.postings(), term="spark").select(
+        "term_b", "n_frames"
+    )
+
+
+def q_adjacent_bigrams(spark, sf_dir):
+    from caterpillar_spark.query.analytics import adjacent_pairs
+
+    idx = _index_cached(sf_dir)
+    return adjacent_pairs(idx.postings()).where(F.col("n_frames") >= 3)
+
+
+def q_significant_bigrams(spark, sf_dir):
+    from caterpillar_spark.query.analytics import significant_bigrams
+
+    idx = _index_cached(sf_dir)
+    return significant_bigrams(idx.postings(), min_count=3, threshold=1.0)
+
+
+def q_ngram_search(spark, sf_dir):
+    from caterpillar_spark.query.analytics import search_ngram
+
+    idx = _index_cached(sf_dir)
+    return search_ngram(idx.postings(), ["spark", "join"]).select(
+        "doc_id", "matches"
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus ops surface
+
+def q_token_stats(spark, sf_dir):
+    from caterpillar_spark.ops import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark, sf_dir):
+    from caterpillar_spark.ops import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    from caterpillar_spark.ops import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    from caterpillar_spark.ops import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark, sf_dir):
+    from caterpillar_spark.ops import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from caterpillar_spark.ops import lsh_candidates, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=16, shingle_n=3)
+    return lsh_candidates(sigs, num_hashes=16, bands=4)
+
+
+def q_simhash(spark, sf_dir):
+    from caterpillar_spark.ops import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from caterpillar_spark.ops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), shingle_n=2, threshold=0.2
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    from caterpillar_spark.ops import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, qvec, k=K)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from caterpillar_spark.ops import embedding_near_dups
+
+    return embedding_near_dups(_embeddings(spark, sf_dir), threshold=0.3)
+
+
+def q_ann_topk(spark, sf_dir):
+    from caterpillar_spark.ops import ann_topk
+
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_topk(emb, qvec, k=10, num_planes=8)
+
+
+# --------------------------------------------------------------------------
+# driver entry points
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over the sf0.001 corpus through the full
+    engine path (framing -> index -> broadcast-join retrieval)."""
+    from caterpillar_spark.framing import build_frames
+    from caterpillar_spark.query import MemoryIndex, search
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    idx = MemoryIndex(build_frames(docs, metadata_cols=["lang"]))
+    return search(idx, k=10, unit="document", should=TOPK_TERMS, scorer="bm25")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "term_frequencies": q_term_frequencies,
+        "field_statistics": q_field_statistics,
+        "boolean_must": q_boolean_must,
+        "boolean_should": q_boolean_should,
+        "boolean_must_not": q_boolean_must_not,
+        "boolean_at_least_n": q_boolean_at_least_n,
+        "term_variants": q_term_variants,
+        "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
+        "metadata_search": q_metadata_search,
+        "metadata_only": q_metadata_only,
+        "associations": q_associations,
+        "adjacent_bigrams": q_adjacent_bigrams,
+        "significant_bigrams": q_significant_bigrams,
+        "ngram_search": q_ngram_search,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk": q_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles.  Shared CTE prelude; the corpus guarantees
+# tokenization parity (see module docstring).
+
+_TOK = """
+tok AS (
+    SELECT doc_id,
+           unnest(str_split(text, ' ')) AS term,
+           generate_subscripts(str_split(text, ' '), 1) - 1 AS pos
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS freq
+    FROM tok GROUP BY doc_id, term
+),
+stats AS (
+    SELECT term, count(*)::BIGINT AS ff, sum(freq)::BIGINT AS tot
+    FROM tf GROUP BY term
+),
+consts AS (
+    SELECT count(*)::DOUBLE AS n,
+           avg(len(str_split(text, ' ')))::DOUBLE AS avgdl
+    FROM documents
+),
+dl AS (
+    SELECT doc_id, len(str_split(text, ' '))::INT AS dl, lang, n_chars
+    FROM documents
+)
+"""
+
+
+def _tfidf_score_sql(terms: list[str], extra_having: str = "", where: str = "") -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOK}
+SELECT t.doc_id,
+       round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+FROM tf t
+JOIN stats s ON t.term = s.term
+CROSS JOIN consts c
+{where}
+WHERE t.term IN ({tlist})
+GROUP BY t.doc_id
+{extra_having}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    must = ", ".join(f"'{t}'" for t in BOOL_TERMS_MUST)
+    should = ", ".join(f"'{t}'" for t in BOOL_TERMS_SHOULD)
+    topk = ", ".join(f"'{t}'" for t in TOPK_TERMS)
+
+    return {
+        "term_frequencies": f"""
+WITH {_TOK}
+SELECT term,
+       tot AS total_occurrences,
+       ff AS frames_occuring,
+       ff AS docs_occuring
+FROM stats
+""",
+        "field_statistics": f"""
+WITH {_TOK}
+SELECT 'text' AS field,
+       count(*)::BIGINT AS frame_count,
+       count(*)::BIGINT AS doc_count,
+       sum(dl)::BIGINT AS token_count,
+       round(avg(dl), 6) AS avg_frame_tokens
+FROM dl
+""",
+        "boolean_must": f"""
+WITH {_TOK}
+SELECT t.doc_id,
+       round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+WHERE t.term IN ({must})
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.term) = 2
+""",
+        "boolean_should": f"""
+WITH {_TOK}
+SELECT t.doc_id,
+       round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+WHERE t.term IN ({should})
+GROUP BY t.doc_id
+""",
+        "boolean_must_not": f"""
+WITH {_TOK}
+SELECT t.doc_id,
+       round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+WHERE t.term = 'spark'
+  AND t.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'join')
+GROUP BY t.doc_id
+""",
+        "boolean_at_least_n": f"""
+WITH {_TOK}
+SELECT t.doc_id,
+       round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+WHERE t.term IN ('spark', 'join', 'hash')
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.term) >= 2
+""",
+        "term_variants": f"""
+WITH {_TOK}
+SELECT t.doc_id,
+       round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+WHERE t.term IN ('vector', 'stream', 'spark')
+GROUP BY t.doc_id
+HAVING count(DISTINCT CASE WHEN t.term IN ('vector','stream') THEN 1
+                           WHEN t.term = 'spark' THEN 2 END) = 2
+""",
+        "tfidf_topk": f"""
+WITH {_TOK}
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+    FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+    WHERE t.term IN ({topk})
+    GROUP BY t.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        "bm25_topk": f"""
+WITH {_TOK}
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(
+               ln(1.0 + (c.n - s.ff + 0.5) / (s.ff + 0.5))
+               * (t.freq * 2.2)
+               / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN stats s ON t.term = s.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN consts c
+    WHERE t.term IN ({topk})
+    GROUP BY t.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        "metadata_search": f"""
+WITH {_TOK}
+SELECT t.doc_id,
+       round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+FROM tf t
+JOIN stats s ON t.term = s.term
+JOIN dl d ON t.doc_id = d.doc_id
+CROSS JOIN consts c
+WHERE t.term = 'table' AND d.lang = 'en'
+GROUP BY t.doc_id
+""",
+        "metadata_only": """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+""",
+        "associations": f"""
+WITH {_TOK}
+SELECT b.term AS term_b, count(*)::BIGINT AS n_frames
+FROM (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark') a
+JOIN (SELECT DISTINCT doc_id, term FROM tok WHERE term <> 'spark') b
+  ON a.doc_id = b.doc_id
+GROUP BY b.term
+""",
+        "adjacent_bigrams": f"""
+WITH {_TOK}
+SELECT term_a, term_b, n_frames FROM (
+    SELECT a.term AS term_a, b.term AS term_b,
+           count(DISTINCT a.doc_id)::BIGINT AS n_frames
+    FROM tok a
+    JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.term, b.term
+) WHERE n_frames >= 3
+""",
+        "significant_bigrams": f"""
+WITH {_TOK},
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b,
+           count(DISTINCT a.doc_id)::BIGINT AS n_frames
+    FROM tok a
+    JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.term, b.term
+    HAVING count(DISTINCT a.doc_id) >= 3
+),
+vocab AS (SELECT count(*)::DOUBLE AS v FROM stats)
+SELECT p.term_a, p.term_b, p.n_frames,
+       round(p.n_frames * v.v / (sa.ff * sb.ff), 6) AS significance
+FROM pairs p
+JOIN stats sa ON p.term_a = sa.term
+JOIN stats sb ON p.term_b = sb.term
+CROSS JOIN vocab v
+WHERE p.n_frames * v.v / (sa.ff * sb.ff) > 1.0
+""",
+        "ngram_search": f"""
+WITH {_TOK}
+SELECT a.doc_id, count(*)::INT AS matches
+FROM tok a
+JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'spark' AND b.term = 'join'
+GROUP BY a.doc_id
+""",
+        "token_stats": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       len(ts)::INT AS n_tokens,
+       len(list_distinct(ts))::INT AS n_distinct,
+       round(len(list_distinct(ts)) / greatest(len(ts), 1)::DOUBLE, 6) AS ttr,
+       round(list_sum(list_transform(ts, x -> length(x)))
+             / greatest(len(ts), 1)::DOUBLE, 6) AS mean_token_len
+FROM t
+""",
+        "quality_scores": """
+WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       length(text)::INT AS n_chars_measured,
+       len(ts)::INT AS n_tokens,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / greatest(length(text), 1)::DOUBLE, 6) AS alpha_ratio,
+       round(len(list_filter(ts, x -> x IN
+             ('the','a','of','and','in','to','is','was','for','with')))
+             / greatest(len(ts), 1)::DOUBLE, 6) AS stopword_ratio,
+       round(1.0 - len(list_distinct(ts))
+             / greatest(len(ts), 1)::DOUBLE, 6) AS repetition
+FROM t
+""",
+        "language_id": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+r AS (
+    SELECT doc_id,
+       round(len(list_filter(ts, x -> x IN ('der','die','das','und','ist','ein','eine','mit','von','zu')))
+             / greatest(len(ts),1)::DOUBLE, 6) AS ratio_de,
+       round(len(list_filter(ts, x -> x IN ('the','a','of','and','in','to','is','was','for','with')))
+             / greatest(len(ts),1)::DOUBLE, 6) AS ratio_en,
+       round(len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','una','los','las')))
+             / greatest(len(ts),1)::DOUBLE, 6) AS ratio_es,
+       round(len(list_filter(ts, x -> x IN ('le','la','les','de','et','un','une','est','que','dans')))
+             / greatest(len(ts),1)::DOUBLE, 6) AS ratio_fr
+    FROM t
+)
+SELECT doc_id, ratio_de, ratio_en, ratio_es, ratio_fr,
+       CASE WHEN greatest(ratio_de, ratio_en, ratio_es, ratio_fr) = 0 THEN 'und'
+            WHEN ratio_de = greatest(ratio_de, ratio_en, ratio_es, ratio_fr) THEN 'de'
+            WHEN ratio_en = greatest(ratio_de, ratio_en, ratio_es, ratio_fr) THEN 'en'
+            WHEN ratio_es = greatest(ratio_de, ratio_en, ratio_es, ratio_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM r
+""",
+        "fingerprints": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       md5(array_to_string(ts, ' ')) AS content_fp,
+       md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS bag_fp
+FROM t
+""",
+        "exact_dedup": """
+WITH f AS (
+    SELECT doc_id, md5(array_to_string(str_split(text, ' '), ' ')) AS fp
+    FROM documents
+),
+g AS (
+    SELECT fp, min(doc_id) AS survivor_id, count(*)::BIGINT AS group_size
+    FROM f GROUP BY fp
+)
+SELECT f.doc_id, f.fp, g.survivor_id, g.group_size,
+       f.doc_id <> g.survivor_id AS is_dup
+FROM f JOIN g ON f.fp = g.fp
+""",
+        "minhash_lsh": _minhash_oracle(),
+        "simhash": """
+WITH tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS cnt
+    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+),
+h AS (
+    SELECT doc_id, cnt,
+           ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+    FROM tf
+),
+bits AS (
+    SELECT doc_id, b.bit,
+           sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+    FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+    GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "ngram_jaccard": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+sh AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(ts) >= 2 THEN
+            list_distinct(list_transform(range(1, len(ts)),
+                          i -> ts[i] || ' ' || ts[i+1]))
+        ELSE [array_to_string(ts, ' ')] END
+    ) AS shingle
+    FROM t
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b, i.inter,
+       (sa.n_sh + sb.n_sh - i.inter)::BIGINT AS "union",
+       round(i.inter / (sa.n_sh + sb.n_sh - i.inter)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter)::DOUBLE >= 0.2
+""",
+        "cosine_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         6) AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {K}
+""",
+        "embedding_near_dups": """
+WITH n AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (a.nrm * b.nrm) >= 0.3
+""",
+        # ann_topk intentionally has no oracle (approximate, LSH-bucketed):
+        # the driver records the weaker rows-only check for it.
+    }
+
+
+def _minhash_oracle() -> str:
+    """16 MinHash sigs over 3-shingles, banded 4x4 — same md5-derived
+    hash family as the engine."""
+    sig_exprs = ",\n           ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS sig_{i}"
+        for i in range(16)
+    )
+    band_exprs = []
+    for b in range(4):
+        parts = " || ',' || ".join(
+            f"sig_{b * 4 + r}::VARCHAR" for r in range(4)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
+    bands_union = "\nUNION ALL\n".join(band_exprs)
+    return f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+sh AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(ts) >= 3 THEN
+            list_distinct(list_transform(range(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        ELSE [array_to_string(ts, ' ')] END
+    ) AS shingle
+    FROM t
+),
+sigs AS (
+    SELECT doc_id,
+           {sig_exprs}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands_union}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""

@@ -1,0 +1,50 @@
+"""Web-scale corpus operations beyond the reference engine.
+
+These are the training-data-pipeline operators a 100 TB corpus job
+needs alongside the inverted index: deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding near-dup), embedding similarity
+search, text quality statistics / language ID / fingerprinting, and
+multimodal binary-column plumbing.
+
+All hot paths are JVM-side Spark SQL expressions (no Python UDFs);
+hash functions are md5-based so the DuckDB correctness oracles can
+reproduce them bit-for-bit.
+"""
+
+from caterpillar_spark.ops.textstats import (
+    tokens_col,
+    token_stats,
+    quality_scores,
+    language_id,
+    fingerprints,
+)
+from caterpillar_spark.ops.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidates,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from caterpillar_spark.ops.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    hyperplane_lsh_buckets,
+    ann_topk,
+)
+
+__all__ = [
+    "tokens_col",
+    "token_stats",
+    "quality_scores",
+    "language_id",
+    "fingerprints",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "embedding_near_dups",
+    "hyperplane_lsh_buckets",
+    "ann_topk",
+]

@@ -1,0 +1,136 @@
+"""Text statistics / quality / language-ID / fingerprinting operators.
+
+All JVM-side (built-in functions + higher-order array functions); no
+Python in the hot path, so these run at whole-stage-codegen speed and
+scale linearly with the corpus — each operator is a narrow map over the
+documents table (zero shuffles).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny per-language function-word sets for the n-gram/stopword-ratio
+#: language heuristic.  Deliberately small and SQL-reproducible.
+LANG_MARKERS: Dict[str, Sequence[str]] = {
+    "en": ("the", "a", "of", "and", "in", "to", "is", "was", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
+}
+
+
+def tokens_col(text_col: str = "text", lowercase: bool = True) -> Column:
+    """Whitespace/punctuation tokens as an array column (JVM-side).
+
+    Splits on runs of non-alphanumerics after optional lowercasing and
+    drops empty strings — the portable "simple" tokenization shared with
+    the DuckDB oracles.
+    """
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, "[^a-z0-9]+"), lambda t: t != "")
+
+
+def token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token counts: total, distinct, type-token ratio,
+    mean token length."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("ttr"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopword_ratio_langs: str = "en",
+) -> DataFrame:
+    """Heuristic document-quality features: length, alpha ratio,
+    stopword ratio, repetition (1 - type/token ratio)."""
+    toks = tokens_col(text_col)
+    markers = list(LANG_MARKERS[stopword_ratio_langs])
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+    n = F.greatest(F.size(toks), F.lit(1))
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    total_len = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.round(alpha / total_len, 6).alias("alpha_ratio"),
+        F.round(stop_hits / n, 6).alias("stopword_ratio"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6
+        ).alias("repetition"),
+    )
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Function-word-ratio language guess.
+
+    Computes per-language marker-token ratios and picks the argmax
+    (ties broken by language code ascending); documents with no marker
+    hits get lang_guess='und'.
+    """
+    toks = tokens_col(text_col)
+    out = docs.select(F.col(id_col), toks.alias("_toks"))
+    n = F.greatest(F.size(F.col("_toks")), F.lit(1))
+    ratio_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        r = F.round(
+            F.size(F.filter(F.col("_toks"), lambda t: t.isin(list(markers)))) / n, 6
+        )
+        ratio_cols.append(r.alias(f"ratio_{lang}"))
+    out = out.select(F.col(id_col), F.size(F.col("_toks")).alias("_n"), *ratio_cols)
+    # argmax via greatest + chained when (deterministic tie-break: first
+    # language in sorted order wins on equal ratio).
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"ratio_{l}") for l in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):
+        guess = F.when(
+            (best > 0) & (F.col(f"ratio_{lang}") == best), F.lit(lang)
+        ).otherwise(guess)
+    return out.select(
+        F.col(id_col), *[F.col(f"ratio_{l}") for l in langs], guess.alias("lang_guess")
+    )
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic document fingerprints.
+
+    ``content_fp``: md5 of whitespace-normalized lowercase text (exact
+    dedup key).  ``bag_fp``: md5 of the sorted distinct token set —
+    order/multiplicity-insensitive, catches shuffled-token duplicates.
+    """
+    toks = tokens_col(text_col)
+    norm = F.concat_ws(" ", toks)
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_fp"),
+        F.md5(bag).alias("bag_fp"),
+    )
