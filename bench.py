@@ -1,0 +1,217 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Headline numbers (BASELINE.json metric):
+
+* ``index_build_docs_per_sec`` — wall time of the full build path
+  (read parquet -> vectorized framing UDF -> postings explode ->
+  term/field statistics shuffle aggregations, all materialized).
+* ``bm25_p50_sec`` — median of repeated BM25 top-10 document queries
+  through the broadcast-join retrieval path.
+
+Scaling-efficiency evidence (north_rule: >=0.8 from N to 4N executors)
+is produced by ``scripts/scaling_bench.py`` which runs this same build
+job at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def _make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("caterpillar-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_build(spark, sf_dir: str):
+    """Full index-build path, timed; returns (seconds, n_docs, index)."""
+    from caterpillar_spark.framing import build_frames
+    from caterpillar_spark.query import MemoryIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    t0 = time.perf_counter()
+    frames = build_frames(
+        docs, text_cols=["text"], metadata_cols=["lang", "n_chars"], frame_size=2
+    ).persist()
+    frames.count()
+    idx = MemoryIndex(frames)
+    postings = idx.postings().persist()
+    postings.count()
+    idx_cached = MemoryIndex(frames)
+    # Materialize the statistics the query path depends on.
+    term_stats = idx_cached.term_stats().persist()
+    term_stats.count()
+    field_stats = idx_cached.field_stats().persist()
+    field_stats.count()
+    build_s = time.perf_counter() - t0
+
+    class _Built:
+        def __init__(self):
+            self.frames = frames
+            self.spark = spark
+
+        def postings(self):
+            return postings
+
+        def term_stats(self):
+            return term_stats
+
+        def field_stats(self):
+            return field_stats
+
+        def num_buckets(self):
+            return None
+
+    return build_s, n_docs, _Built()
+
+
+def bench_query(fn, warmups: int = 1, reps: int = 5):
+    for _ in range(warmups):
+        fn()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = _make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from caterpillar_spark.ops import (
+        exact_dedup,
+        lsh_candidates,
+        minhash_signatures,
+        quality_scores,
+        token_stats,
+    )
+    from caterpillar_spark.query import search
+    from caterpillar_spark.query.analytics import significant_bigrams
+
+    queries: dict[str, float] = {}
+
+    build_s, n_docs, idx = bench_build(spark, sf_dir)
+    queries["index_build"] = round(build_s, 4)
+    docs_per_sec = n_docs / build_s if build_s else 0.0
+
+    def run(df):
+        df.count()
+
+    TOPK_TERMS = ["spark", "table"]
+
+    bm25 = lambda: run(
+        search(idx, k=10, unit="document", should=TOPK_TERMS, scorer="bm25")
+    )
+    bm25_p50 = bench_query(bm25, warmups=1, reps=7)
+    queries["bm25_topk"] = round(bm25_p50, 4)
+
+    queries["tfidf_topk"] = round(
+        bench_query(
+            lambda: run(
+                search(idx, k=10, unit="document", should=TOPK_TERMS, scorer="tfidf")
+            ),
+            reps=3,
+        ),
+        4,
+    )
+    queries["boolean_must"] = round(
+        bench_query(
+            lambda: run(
+                search(idx, k=10, unit="document", must=["spark", "join"])
+            ),
+            reps=3,
+        ),
+        4,
+    )
+    queries["metadata_search"] = round(
+        bench_query(
+            lambda: run(
+                search(
+                    idx, k=10, unit="document", should=["table"],
+                    metadata={"lang": {"=": "en"}},
+                )
+            ),
+            reps=3,
+        ),
+        4,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries["significant_bigrams"] = round(
+        bench_query(
+            lambda: run(significant_bigrams(idx.postings(), min_count=3, threshold=1.0)),
+            warmups=0, reps=1,
+        ),
+        4,
+    )
+    queries["token_stats"] = round(
+        bench_query(lambda: run(token_stats(docs)), warmups=0, reps=2), 4
+    )
+    queries["quality_scores"] = round(
+        bench_query(lambda: run(quality_scores(docs)), warmups=0, reps=2), 4
+    )
+    queries["exact_dedup"] = round(
+        bench_query(lambda: run(exact_dedup(docs)), warmups=0, reps=2), 4
+    )
+    queries["minhash_lsh"] = round(
+        bench_query(
+            lambda: run(
+                lsh_candidates(
+                    minhash_signatures(docs, num_hashes=16, shingle_n=3),
+                    num_hashes=16,
+                    bands=4,
+                )
+            ),
+            warmups=0, reps=1,
+        ),
+        4,
+    )
+
+    total = round(sum(queries.values()), 4)
+    out = {
+        "metric": "index-build docs/sec + BM25 top-10 p50 (caterpillar_spark)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_build_docs_per_sec": round(docs_per_sec, 2),
+        "bm25_p50_sec": round(bm25_p50, 4),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
