@@ -1,0 +1,202 @@
+"""Compressed document-level posting lists with block-max metadata.
+
+The persisted inverted-file layout mandated by the north_rule:
+delta-gap + varint compressed posting lists, partitioned by term hash,
+with per-term document frequencies and skip-block (block-max) metadata
+for WAND pruning.
+
+Layout — one row per (term, block)::
+
+    term        string   -- the term
+    term_bucket int      -- pmod(xxhash64(term), num_buckets); partition col
+    block       int      -- doc-range block id (see below)
+    n_docs      int      -- postings in this block
+    first_doc   long     -- first doc id (unsigned order) in the block
+    last_doc    long     -- last doc id; with first_doc = skip metadata
+    doc_gaps    binary   -- varint deltas of the remaining n-1 doc ids
+    freqs       binary   -- varint term frequency per doc (doc-level tf)
+    doc_lens    binary   -- varint document length (tokens) per doc
+    max_freq    int      -- block-max tf
+    max_score_q double   -- block-max BM25 term quotient
+                            max_d tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl));
+                            query bound for the block = idf * max_score_q
+
+Block assignment is **by doc-id range, not by list position**:
+``block = shiftrightunsigned(doc_id, 64 - block_bits)``.  Because doc
+ids are xxhash64(url) (uniform), a hot term's postings spread evenly
+over all 2^block_bits blocks — this is the skew answer for posting-list
+*construction*: the groupBy key is (term, block), so no reducer ever
+holds more than ~1/2^block_bits of the hottest list (vs. the reference,
+which is single-writer SQLite and sidesteps the problem,
+storage/sqlite.py:133-150).  Alignment is global: block B covers the
+same doc range for every term, so intersection and WAND can process
+block-aligned groups without re-sorting.
+
+Aggregation to document level (tf = sum of frame freqs, dl = sum of
+frame tokens) happens map-side-combinable before the block groupBy.
+Encoding runs in an Arrow-batched grouped ``applyInPandas`` — no
+per-row Python at the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from caterpillar_spark.indexing.codec import (
+    decode_doc_gaps,
+    decode_varints,
+    encode_doc_gaps,
+    encode_varints,
+)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+DEFAULT_BLOCK_BITS = 4  # 16 blocks; use 10-12 (1024-4096) at full scale
+
+POSTING_LIST_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("term_bucket", IntegerType(), False),
+        StructField("block", IntegerType(), False),
+        StructField("n_docs", IntegerType(), False),
+        StructField("first_doc", LongType(), False),
+        StructField("last_doc", LongType(), False),
+        StructField("doc_gaps", BinaryType(), True),
+        StructField("freqs", BinaryType(), True),
+        StructField("doc_lens", BinaryType(), True),
+        StructField("max_freq", IntegerType(), False),
+        StructField("max_score_q", DoubleType(), False),
+    ]
+)
+
+
+def doc_level_postings(postings: DataFrame) -> DataFrame:
+    """(term, frame) postings -> (term, doc) postings: tf summed over
+    the document's frames, dl = document token count (sum of frame
+    tokens over the doc's distinct frames)."""
+    doc_lens = (
+        postings.select("doc_id", "field", "frame_seq", "frame_tokens")
+        .dropDuplicates(["doc_id", "field", "frame_seq"])
+        .groupBy("doc_id")
+        .agg(F.sum("frame_tokens").cast("long").alias("dl"))
+    )
+    tf = postings.groupBy("term", "doc_id").agg(
+        F.sum("freq").cast("long").alias("tf")
+    )
+    return tf.join(doc_lens, "doc_id")
+
+
+def build_posting_lists(
+    postings: DataFrame,
+    num_buckets: int = 64,
+    block_bits: int = DEFAULT_BLOCK_BITS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    avgdl: Optional[float] = None,
+) -> DataFrame:
+    """(term, frame) postings -> compressed block rows
+    (POSTING_LIST_SCHEMA)."""
+    docp = doc_level_postings(postings)
+    if avgdl is None:
+        row = (
+            docp.select("doc_id", "dl")
+            .dropDuplicates(["doc_id"])
+            .agg(F.avg("dl"))
+            .collect()[0]
+        )
+        avgdl = float(row[0] or 1.0)
+
+    shift = 64 - block_bits
+    keyed = docp.select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias(
+            "term_bucket"
+        ),
+        F.shiftrightunsigned(F.col("doc_id"), shift).cast("int").alias("block"),
+        "doc_id",
+        "tf",
+        "dl",
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one group = one (term, block); sort by unsigned doc id
+        order = np.argsort(pdf["doc_id"].to_numpy().astype(np.uint64))
+        doc_ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["dl"].to_numpy()[order]
+        score_q = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "term_bucket": [int(pdf["term_bucket"].iloc[0])],
+                "block": [int(pdf["block"].iloc[0])],
+                "n_docs": [len(doc_ids)],
+                "first_doc": [int(doc_ids[0])],
+                "last_doc": [int(doc_ids[-1])],
+                "doc_gaps": [encode_doc_gaps(doc_ids)],
+                "freqs": [encode_varints(tfs)],
+                "doc_lens": [encode_varints(dls)],
+                "max_freq": [int(tfs.max())],
+                "max_score_q": [float(score_q.max())],
+            }
+        )
+
+    return keyed.groupBy("term", "block").applyInPandas(
+        encode, schema=POSTING_LIST_SCHEMA
+    )
+
+
+def decode_block(row) -> pd.DataFrame:
+    """One block row -> DataFrame(doc_id, tf, dl); test/debug helper and
+    the single source of truth for the decode used by the WAND scorer."""
+    n = row["n_docs"]
+    return pd.DataFrame(
+        {
+            "doc_id": decode_doc_gaps(row["first_doc"], row["doc_gaps"], n),
+            "tf": decode_varints(row["freqs"])[:n],
+            "dl": decode_varints(row["doc_lens"])[:n],
+        }
+    )
+
+
+def posting_list_stats(lists: DataFrame) -> DataFrame:
+    """Per-term document frequency + compressed footprint from the block
+    rows alone (the per-term document frequencies the north_rule
+    requires the index to carry)."""
+    return lists.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("doc_freq"),
+        F.count("*").cast("int").alias("n_blocks"),
+        (
+            F.sum(F.octet_length("doc_gaps"))
+            + F.sum(F.octet_length("freqs"))
+            + F.sum(F.octet_length("doc_lens"))
+        ).cast("long").alias("compressed_bytes"),
+        F.max("max_freq").alias("max_freq"),
+    )
+
+
+def write_posting_lists(lists: DataFrame, path: str) -> None:
+    """Persist partitioned by term_bucket (partition pruning at query
+    time) and sorted by (term, block) within files so parquet row-group
+    min/max stats prune term scans."""
+    (
+        lists.repartition("term_bucket")
+        .sortWithinPartitions("term", "block")
+        .write.partitionBy("term_bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )

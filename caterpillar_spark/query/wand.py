@@ -1,0 +1,222 @@
+"""Block-max WAND top-k BM25 over the compressed posting lists.
+
+The scale-path retrieval engine the north_rule asks for: posting-list
+intersection/union with block-max pruning executed as a distributed
+job over the (term, block) rows of
+:mod:`caterpillar_spark.indexing.postinglists`.
+
+Execution shape:
+
+1. the block rows for the query terms are read with term-bucket
+   partition pruning + a term predicate (parquet row-group stats prune
+   within a bucket because files are sorted by term);
+2. per-term document frequencies come from the block metadata alone
+   (sum of n_docs — no decode), idf is computed driver-side exactly as
+   the DataFrame engine does (query/engine.py:_resolve_weights);
+3. rows are hash-repartitioned by ``block`` — blocks are doc-range
+   aligned across terms, so all lists' fragments for one doc range land
+   in one task and no doc spans two tasks;
+4. inside ``mapPartitions`` each task sorts its block groups by their
+   block-max upper bound (sum over present terms of idf*max_score_q)
+   and processes them best-first, keeping a running top-k; a group
+   whose bound is strictly below the task's current kth score is
+   skipped without decoding — the block-max WAND pruning step.  For
+   conjunctive mode a group missing any required term is skipped
+   outright (block-level intersection).  Skips are *exact*: a skipped
+   group provably cannot alter that task's top-k, and the global top-k
+   is the merge of per-task top-ks (TakeOrderedAndProject, k*P rows).
+
+Scoring is Okapi BM25 (k1=1.2, b=0.75 defaults, north_star) at
+document granularity: tf summed over the doc's frames, dl = doc token
+count, ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from caterpillar_spark.indexing.postinglists import (
+    BM25_B,
+    BM25_K1,
+    build_posting_lists,
+    posting_list_stats,
+    write_posting_lists,
+)
+
+_NEEDED = [
+    "term", "block", "n_docs", "first_doc",
+    "doc_gaps", "freqs", "doc_lens", "max_score_q",
+]
+
+
+@dataclass
+class CompressedIndex:
+    """Persisted (or in-memory) compressed index + the corpus constants
+    BM25 needs.  ``meta.json`` next to the parquet carries them across
+    sessions."""
+
+    lists: DataFrame
+    n_docs: int
+    avgdl: float
+    num_buckets: Optional[int] = None
+
+    @classmethod
+    def build(
+        cls,
+        postings: DataFrame,
+        num_buckets: int = 64,
+        block_bits: int = 4,
+        path: Optional[str] = None,
+    ) -> "CompressedIndex":
+        from caterpillar_spark.indexing.postinglists import doc_level_postings
+
+        corpus = (
+            doc_level_postings(postings)
+            .select("doc_id", "dl")
+            .dropDuplicates(["doc_id"])
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        n_docs, avgdl = int(corpus["n"]), float(corpus["avgdl"] or 1.0)
+        lists = build_posting_lists(
+            postings, num_buckets=num_buckets, block_bits=block_bits,
+            avgdl=avgdl,
+        )
+        if path:
+            write_posting_lists(lists, path)
+            spark = postings.sparkSession
+            with open(os.path.join(path, "_meta.json"), "w") as fh:
+                json.dump(
+                    {"n_docs": n_docs, "avgdl": avgdl,
+                     "num_buckets": num_buckets}, fh,
+                )
+            lists = spark.read.parquet(path)
+        return cls(lists, n_docs, avgdl, num_buckets)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "CompressedIndex":
+        with open(os.path.join(path, "_meta.json")) as fh:
+            meta = json.load(fh)
+        return cls(
+            spark.read.parquet(path), meta["n_docs"], meta["avgdl"],
+            meta.get("num_buckets"),
+        )
+
+
+def _prune_terms(index: CompressedIndex, terms: Sequence[str]) -> DataFrame:
+    df = index.lists
+    if index.num_buckets and "term_bucket" in df.columns:
+        spark = df.sparkSession
+        buckets = {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(index.num_buckets))
+                .cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        df = df.where(F.col("term_bucket").isin(sorted(buckets)))
+    return df.where(F.col("term").isin(list(terms)))
+
+
+def wand_topk(
+    index: CompressedIndex,
+    terms: Sequence[str],
+    k: int = 10,
+    mode: str = "or",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exact BM25 top-k (score desc, doc_id asc) with block-max WAND
+    pruning.  ``mode='and'`` additionally requires every term present
+    in the document (block-level + doc-level intersection)."""
+    terms = sorted(set(terms))
+    spark = index.lists.sparkSession
+    pruned = _prune_terms(index, terms)
+
+    stats = {
+        r["term"]: int(r["doc_freq"])
+        for r in posting_list_stats(pruned).collect()
+    }
+    n = float(index.n_docs)
+    idf = {
+        t: float(np.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)))
+        for t, df_t in stats.items()
+    }
+    if not idf:
+        return spark.createDataFrame([], "doc_id long, score double")
+    avgdl = index.avgdl
+    conjunctive = mode == "and"
+    n_terms_required = len(terms) if conjunctive else 0
+    if conjunctive and len(idf) < len(terms):
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    rows = pruned.select(*_NEEDED)
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    rows = rows.repartition(parts, "block").sortWithinPartitions("block")
+
+    from caterpillar_spark.indexing.codec import decode_doc_gaps, decode_varints
+
+    def score_partition(it: Iterator) -> Iterator[tuple]:
+        groups: dict = {}
+        for r in it:
+            groups.setdefault(r["block"], []).append(r)
+        if not groups:
+            return
+        scored: List[tuple] = []
+        for block, rs in groups.items():
+            bound = sum(idf[r["term"]] * r["max_score_q"] for r in rs)
+            scored.append((bound, block, rs))
+        scored.sort(key=lambda x: -x[0])
+
+        heap: List[float] = []  # min-heap of the k best scores seen
+        results: List[tuple] = []
+        for bound, block, rs in scored:
+            if conjunctive and len(rs) < n_terms_required:
+                continue  # a required term has no postings in this range
+            if len(heap) == k and bound < heap[0]:
+                continue  # block-max skip: cannot beat current top-k
+            doc_parts, score_parts = [], []
+            for r in rs:
+                nd = r["n_docs"]
+                docs = decode_doc_gaps(r["first_doc"], r["doc_gaps"], nd)
+                tf = decode_varints(r["freqs"])[:nd].astype(np.float64)
+                dl = decode_varints(r["doc_lens"])[:nd].astype(np.float64)
+                w = idf[r["term"]]
+                s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                doc_parts.append(docs)
+                score_parts.append(s)
+            all_docs = np.concatenate(doc_parts)
+            all_scores = np.concatenate(score_parts)
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            sums = np.bincount(inv, weights=all_scores)
+            if conjunctive:
+                counts = np.bincount(inv)
+                keep = counts == n_terms_required
+                uniq, sums = uniq[keep], sums[keep]
+            for d, s in zip(uniq, sums):
+                results.append((float(s), int(d)))
+                if len(heap) < k:
+                    heapq.heappush(heap, float(s))
+                elif s > heap[0]:
+                    heapq.heapreplace(heap, float(s))
+        # per-task top-k (ties kept: cheap, correctness-safe)
+        results.sort(key=lambda x: (-x[0], x[1]))
+        for s, d in results[: k + 32]:
+            yield (d, s)
+
+    out = spark.createDataFrame(
+        rows.rdd.mapPartitions(score_partition), "doc_id long, score double"
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
