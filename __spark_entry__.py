@@ -128,6 +128,30 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _compressed_cached(sf_dir: str):
+    """Delta-gap+varint compressed posting lists (block-max layout) for
+    the WAND scale path, built from the same frames as the engine."""
+    from caterpillar_spark.query.wand import CompressedIndex
+
+    idx = _index_cached(sf_dir)
+    return CompressedIndex.build(idx.postings(), num_buckets=8, block_bits=3)
+
+
+def q_wand_bm25_topk(spark, sf_dir):
+    from caterpillar_spark.query.wand import wand_topk
+
+    return _rounded(wand_topk(_compressed_cached(sf_dir), TOPK_TERMS, k=K))
+
+
+def q_posting_list_stats(spark, sf_dir):
+    from caterpillar_spark.indexing.postinglists import posting_list_stats
+
+    return posting_list_stats(_compressed_cached(sf_dir).lists).select(
+        "term", "doc_freq", "max_freq"
+    )
+
+
 def q_metadata_search(spark, sf_dir):
     return _bool(
         spark, sf_dir, should=["table"], metadata={"lang": {"=": "en"}}
@@ -276,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_variants": q_term_variants,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
+        "wand_bm25_topk": q_wand_bm25_topk,
+        "posting_list_stats": q_posting_list_stats,
         "metadata_search": q_metadata_search,
         "metadata_only": q_metadata_only,
         "associations": q_associations,
@@ -437,6 +463,33 @@ SELECT doc_id, score FROM (
     WHERE t.term IN ({topk})
     GROUP BY t.doc_id
 ) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        # WAND over the compressed block-max index is *exact* top-k, so
+        # it shares the plain BM25 oracle (single-frame corpus: doc-level
+        # and frame-level BM25 coincide; see module docstring).
+        "wand_bm25_topk": f"""
+WITH {_TOK}
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(
+               ln(1.0 + (c.n - s.ff + 0.5) / (s.ff + 0.5))
+               * (t.freq * 2.2)
+               / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN stats s ON t.term = s.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN consts c
+    WHERE t.term IN ({topk})
+    GROUP BY t.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        "posting_list_stats": f"""
+WITH {_TOK}
+SELECT term,
+       count(*)::BIGINT AS doc_freq,
+       max(freq)::INT AS max_freq
+FROM tf GROUP BY term
 """,
         "metadata_search": f"""
 WITH {_TOK}

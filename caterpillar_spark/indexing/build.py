@@ -105,6 +105,19 @@ class InvertedIndex:
     def num_buckets(self) -> int:
         return self.manifest["num_buckets"]
 
+    def lists(self) -> DataFrame:
+        """Compressed posting-list block rows (postinglists.py layout)."""
+        return self.spark.read.parquet(os.path.join(self.path, "lists"))
+
+    def compressed(self):
+        """CompressedIndex view for the WAND query engine."""
+        from caterpillar_spark.query.wand import CompressedIndex
+
+        m = self.manifest
+        return CompressedIndex(
+            self.lists(), m["n_docs"], m["avgdl"], m["num_buckets"]
+        )
+
 
 def _manifest_path(path: str) -> str:
     return os.path.join(path, "manifest.json")
@@ -132,23 +145,32 @@ def build_index(
     num_buckets: int = DEFAULT_BUCKETS,
     checkpoint_groups: int = 1,
     resume: bool = True,
+    block_bits: int = 4,
 ) -> InvertedIndex:
     """Build (or resume building) the inverted index at ``path``.
 
     ``checkpoint_groups`` > 1 splits the term-bucket space into that many
     slices, committing each slice independently with a manifest entry —
     a killed build restarts from the first incomplete slice.  Lineage =
-    the (bucket range, row/term counts, wall time) per slice.
+    the (bucket range, wall time) per slice.  Each slice writes both the
+    raw positional postings AND the compressed posting-list layout
+    (delta-gap+varint blocks with block-max metadata, postinglists.py)
+    via *dynamic partition overwrite*, so re-running a slice after a
+    crash is idempotent — a half-written slice is simply overwritten.
     """
+    from caterpillar_spark.indexing.postinglists import build_posting_lists
+
     spark = frames.sparkSession
     manifest = (_load_manifest(path) if resume else None) or {
         "revision": 0,
         "num_buckets": num_buckets,
+        "block_bits": block_bits,
         "checkpoint_groups": checkpoint_groups,
         "completed_slices": {},
         "stats_done": False,
         "metrics": {},
     }
+    manifest.setdefault("block_bits", block_bits)
     if manifest["num_buckets"] != num_buckets:
         raise ValueError(
             f"index at {path} was built with num_buckets="
@@ -161,6 +183,23 @@ def build_index(
         # Each slice filters the same lineage; cache frames so the
         # analysis UDF runs once, not once per slice.
         frames.persist()
+
+    # Corpus constants for BM25 (document count, avg doc length) come
+    # from the full frames relation, not a slice; cached in the manifest
+    # so a resumed build skips the pass.
+    if "n_docs" not in manifest:
+        doc_tok = frames.groupBy("doc_id").agg(
+            F.sum("frame_tokens").cast("long").alias("dl")
+        )
+        agg = doc_tok.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        manifest["n_docs"] = int(agg["n"])
+        manifest["avgdl"] = float(agg["avgdl"] or 1.0)
+        _save_manifest(path, manifest)
+    doc_lens = frames.groupBy("doc_id").agg(
+        F.sum("frame_tokens").cast("long").alias("dl")
+    )
 
     bounds = [
         (g * num_buckets // checkpoint_groups,
@@ -177,8 +216,24 @@ def build_index(
             slice_df.repartition("term_bucket")
             .sortWithinPartitions("term", "doc_id", "frame_seq")
             .write.partitionBy("term_bucket")
-            .mode("append")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
             .parquet(os.path.join(path, "postings"))
+        )
+        (
+            build_posting_lists(
+                slice_df.drop("term_bucket"),
+                num_buckets=num_buckets,
+                block_bits=manifest["block_bits"],
+                avgdl=manifest["avgdl"],
+                doc_lens=doc_lens,
+            )
+            .repartition("term_bucket")
+            .sortWithinPartitions("term", "block")
+            .write.partitionBy("term_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "lists"))
         )
         manifest["completed_slices"][key] = {
             "bucket_lo": lo,

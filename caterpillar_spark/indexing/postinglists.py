@@ -84,16 +84,23 @@ POSTING_LIST_SCHEMA = StructType(
 )
 
 
-def doc_level_postings(postings: DataFrame) -> DataFrame:
+def doc_level_postings(
+    postings: DataFrame, doc_lens: Optional[DataFrame] = None
+) -> DataFrame:
     """(term, frame) postings -> (term, doc) postings: tf summed over
     the document's frames, dl = document token count (sum of frame
-    tokens over the doc's distinct frames)."""
-    doc_lens = (
-        postings.select("doc_id", "field", "frame_seq", "frame_tokens")
-        .dropDuplicates(["doc_id", "field", "frame_seq"])
-        .groupBy("doc_id")
-        .agg(F.sum("frame_tokens").cast("long").alias("dl"))
-    )
+    tokens over the doc's distinct frames).
+
+    Pass ``doc_lens`` (doc_id, dl) explicitly when ``postings`` is a
+    term-bucket *slice* of the corpus — deriving dl from a slice would
+    miss frames whose terms all hash outside the slice."""
+    if doc_lens is None:
+        doc_lens = (
+            postings.select("doc_id", "field", "frame_seq", "frame_tokens")
+            .dropDuplicates(["doc_id", "field", "frame_seq"])
+            .groupBy("doc_id")
+            .agg(F.sum("frame_tokens").cast("long").alias("dl"))
+        )
     tf = postings.groupBy("term", "doc_id").agg(
         F.sum("freq").cast("long").alias("tf")
     )
@@ -107,10 +114,11 @@ def build_posting_lists(
     k1: float = BM25_K1,
     b: float = BM25_B,
     avgdl: Optional[float] = None,
+    doc_lens: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(term, frame) postings -> compressed block rows
     (POSTING_LIST_SCHEMA)."""
-    docp = doc_level_postings(postings)
+    docp = doc_level_postings(postings, doc_lens)
     if avgdl is None:
         row = (
             docp.select("doc_id", "dl")

@@ -250,4 +250,18 @@ def test_build_index_and_resume(spark, tmp_path):
     idx2 = build_index(frames, path, num_buckets=8, checkpoint_groups=4)
     assert idx2.postings().count() == n_posts
     assert len(idx2.manifest["completed_slices"]) == 4
+
+    # The compressed posting-list layout was rebuilt too (slice writes
+    # are idempotent dynamic partition overwrites), and WAND BM25 over
+    # it is rank-identical to the DataFrame engine (single-frame corpus,
+    # so frame-level and doc-level BM25 coincide).
+    from caterpillar_spark.query.wand import wand_topk
+
+    got = wand_topk(idx2.compressed(), ["spark", "table"], k=5).collect()
+    want = search(
+        mem, k=5, unit="document", should=["spark", "table"], scorer="bm25"
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
     frames.unpersist()
