@@ -129,43 +129,66 @@ def build_posting_lists(
         avgdl = float(row[0] or 1.0)
 
     shift = 64 - block_bits
+    sign_bit = -(2**63)
     keyed = docp.select(
         "term",
         F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias(
             "term_bucket"
         ),
         F.shiftrightunsigned(F.col("doc_id"), shift).cast("int").alias("block"),
+        # sign-bit flip makes signed sort order == unsigned doc order,
+        # so sort_array below orders postings the way the codec needs
+        F.col("doc_id").bitwiseXOR(F.lit(sign_bit)).alias("ukey"),
         "doc_id",
         "tf",
         "dl",
     )
-
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one group = one (term, block); sort by unsigned doc id
-        order = np.argsort(pdf["doc_id"].to_numpy().astype(np.uint64))
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["dl"].to_numpy()[order]
-        score_q = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "term_bucket": [int(pdf["term_bucket"].iloc[0])],
-                "block": [int(pdf["block"].iloc[0])],
-                "n_docs": [len(doc_ids)],
-                "first_doc": [int(doc_ids[0])],
-                "last_doc": [int(doc_ids[-1])],
-                "doc_gaps": [encode_doc_gaps(doc_ids)],
-                "freqs": [encode_varints(tfs)],
-                "doc_lens": [encode_varints(dls)],
-                "max_freq": [int(tfs.max())],
-                "max_score_q": [float(score_q.max())],
-            }
-        )
-
-    return keyed.groupBy("term", "block").applyInPandas(
-        encode, schema=POSTING_LIST_SCHEMA
+    # The shuffle key is (term, block): a hot term's list spreads over
+    # all 2^block_bits blocks, so no single reducer owns it.  The
+    # collect_list stays JVM-side; Python sees one already-sorted array
+    # per block and encodes a whole Arrow batch of blocks at a time.
+    grouped = keyed.groupBy("term", "term_bucket", "block").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ukey", "doc_id", "tf", "dl"))
+        ).alias("plist")
     )
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for term, bucket, block, plist in pdf.itertuples(index=False):
+                doc_ids = np.fromiter(
+                    (p["doc_id"] for p in plist), dtype=np.int64, count=len(plist)
+                )
+                tfs = np.fromiter(
+                    (p["tf"] for p in plist), dtype=np.int64, count=len(plist)
+                )
+                dls = np.fromiter(
+                    (p["dl"] for p in plist), dtype=np.int64, count=len(plist)
+                )
+                score_q = (tfs * (k1 + 1.0)) / (
+                    tfs + k1 * (1.0 - b + b * dls / avgdl)
+                )
+                out.append(
+                    (
+                        term,
+                        int(bucket),
+                        int(block),
+                        len(doc_ids),
+                        int(doc_ids[0]),
+                        int(doc_ids[-1]),
+                        encode_doc_gaps(doc_ids),
+                        encode_varints(tfs),
+                        encode_varints(dls),
+                        int(tfs.max()),
+                        float(score_q.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in POSTING_LIST_SCHEMA.fields]
+            )
+
+    return grouped.mapInPandas(encode, schema=POSTING_LIST_SCHEMA)
 
 
 def decode_block(row) -> pd.DataFrame:

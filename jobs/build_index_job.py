@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Index-build + BM25 query job — the ``spark-submit --py-files`` entry
+point (north_rule ops requirement) and the unit of work for the
+two-cluster-size scaling measurement.
+
+Usage (cluster):
+
+    scripts/make_dist.sh
+    spark-submit --py-files dist/caterpillar_spark.zip \
+        jobs/build_index_job.py --input /path/webtext.parquet \
+        --index-path /path/index --queries "spark table,the index"
+
+Usage (sandbox scaling evidence, see scripts/scaling_bench.py):
+
+    python jobs/build_index_job.py --cores 8 --input /tmp/webtext \
+        --index-path /tmp/idx8
+
+Prints one JSON line: build seconds, docs/sec, per-query p50 latency.
+The input is the Common-Crawl-style table (url, warc_ts, html, text,
+lang) — BASELINE.json input_hint; generate one deterministically with
+``--generate N``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import statistics
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="webtext parquet path")
+    ap.add_argument("--index-path", required=True)
+    ap.add_argument("--cores", type=int, default=0,
+                    help="local[N] master; 0 = use spark-submit's master")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="first synthesize N webtext docs at --input")
+    ap.add_argument("--num-buckets", type=int, default=32)
+    ap.add_argument("--block-bits", type=int, default=4)
+    ap.add_argument("--checkpoint-groups", type=int, default=4)
+    ap.add_argument("--queries", default="the,spark table,index query data")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--fresh", action="store_true",
+                    help="remove any existing index at --index-path first")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("caterpillar-index-build")
+    if args.cores:
+        builder = (
+            builder.master(f"local[{args.cores}]")
+            .config("spark.sql.shuffle.partitions", str(args.cores))
+            .config("spark.default.parallelism", str(args.cores))
+        )
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from caterpillar_spark.framing import build_frames
+    from caterpillar_spark.indexing.build import build_index
+    from caterpillar_spark.query.wand import wand_topk
+    from caterpillar_spark.sources import ingest_webtext, synthetic_webtext
+
+    if args.generate:
+        synthetic_webtext(spark, args.generate, seed=42).write.mode(
+            "overwrite"
+        ).parquet(args.input)
+
+    if args.fresh:
+        shutil.rmtree(args.index_path, ignore_errors=True)
+
+    web = spark.read.parquet(args.input)
+    n_docs = web.count()  # warms the scan; excluded from build timing
+
+    t0 = time.perf_counter()
+    frames = build_frames(ingest_webtext(web), metadata_cols=["lang"])
+    idx = build_index(
+        frames,
+        args.index_path,
+        num_buckets=args.num_buckets,
+        block_bits=args.block_bits,
+        checkpoint_groups=args.checkpoint_groups,
+    )
+    build_s = time.perf_counter() - t0
+
+    cidx = idx.compressed()
+    latencies = {}
+    for q in [q.strip() for q in args.queries.split(",") if q.strip()]:
+        terms = q.split()
+        times = []
+        wand_topk(cidx, terms, k=args.k).collect()  # warm
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            wand_topk(cidx, terms, k=args.k).collect()
+            times.append(time.perf_counter() - t0)
+        latencies[q] = round(statistics.median(times), 4)
+
+    out = {
+        "n_docs": n_docs,
+        "build_seconds": round(build_s, 3),
+        "docs_per_sec": round(n_docs / build_s, 2),
+        "bm25_p50_sec": round(statistics.median(latencies.values()), 4),
+        "query_p50": latencies,
+        "manifest_revision": idx.manifest["revision"],
+        "cores": args.cores or "submit-default",
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

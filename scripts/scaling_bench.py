@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Two-cluster-size scaling evidence (north_rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the driver instruction
+the same job runs at two parallelism levels — ``local[8]`` and
+``local[32]`` — each in its own JVM via ``spark-submit --py-files``
+(exercising the packaging requirement at the same time), over the SAME
+pre-written deterministic webtext parquet input.
+
+    efficiency = (docs_per_sec at 4N) / (4 * docs_per_sec at N)
+
+Writes BENCH_SCALING.json at the repo root and prints a markdown table
+to paste into BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [--n-docs 40000] [--low 8]
+       [--high 32] [--python-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cores: int, input_path: str, use_submit: bool) -> dict:
+    idx_path = f"/tmp/scaling_idx_{cores}"
+    shutil.rmtree(idx_path, ignore_errors=True)
+    job = os.path.join(REPO, "jobs", "build_index_job.py")
+    args = [
+        job, "--cores", str(cores), "--input", input_path,
+        "--index-path", idx_path, "--fresh",
+    ]
+    if use_submit:
+        import pyspark
+
+        submit = os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+        zipf = os.path.join(REPO, "dist", "caterpillar_spark.zip")
+        subprocess.run(
+            ["bash", os.path.join(REPO, "scripts", "make_dist.sh")],
+            check=True, capture_output=True,
+        )
+        cmd = [submit, "--master", f"local[{cores}]", "--py-files", zipf, *args]
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    else:
+        cmd = [sys.executable, *args]
+        env = {**os.environ, "PYTHONPATH": REPO}
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd="/tmp", timeout=3600)
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+        raise SystemExit(f"level local[{cores}] failed")
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=40000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--python-only", action="store_true",
+                    help="run via python instead of spark-submit")
+    args = ap.parse_args()
+
+    input_path = f"/tmp/scaling_webtext_{args.n_docs}"
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        # one-time deterministic corpus write (untimed, shared by levels)
+        gen = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "build_index_job.py"),
+             "--cores", "32", "--generate", str(args.n_docs),
+             "--input", input_path, "--index-path", "/tmp/scaling_idx_gen",
+             "--fresh", "--reps", "1", "--queries", "the"],
+            capture_output=True, text=True,
+            env={**os.environ, "PYTHONPATH": REPO}, timeout=3600,
+        )
+        if gen.returncode != 0:
+            sys.stderr.write(gen.stderr[-4000:])
+            raise SystemExit("corpus generation failed")
+
+    use_submit = not args.python_only
+    low = run_level(args.low, input_path, use_submit)
+    high = run_level(args.high, input_path, use_submit)
+
+    ratio = args.high / args.low
+    eff = high["docs_per_sec"] / (ratio * low["docs_per_sec"])
+    result = {
+        "n_docs": args.n_docs,
+        "low_cores": args.low,
+        "high_cores": args.high,
+        "low": low,
+        "high": high,
+        "speedup": round(high["docs_per_sec"] / low["docs_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "ran_via": "spark-submit --py-files" if use_submit else "python",
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result, indent=2))
+    print(
+        f"\n| level | docs/sec | build s | BM25 p50 s |\n|---|---|---|---|\n"
+        f"| local[{args.low}] | {low['docs_per_sec']} | {low['build_seconds']} | {low['bm25_p50_sec']} |\n"
+        f"| local[{args.high}] | {high['docs_per_sec']} | {high['build_seconds']} | {high['bm25_p50_sec']} |\n"
+        f"\nscaling efficiency (N->4N): **{result['scaling_efficiency']}** "
+        f"(target >= 0.8)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
