@@ -167,6 +167,55 @@ def q_metadata_only(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_tf_vectors(spark, sf_dir):
+    from caterpillar_spark.query.vectors import tf_vectors
+
+    idx = _index_cached(sf_dir)
+    return (
+        tf_vectors(idx.postings(), unit="document")
+        .select("doc_id", F.explode("vector").alias("v"))
+        .select("doc_id", F.col("v.term").alias("term"), F.col("v.freq").alias("freq"))
+    )
+
+
+def q_vocabulary(spark, sf_dir):
+    from caterpillar_spark.query.vectors import vocabulary
+
+    idx = _index_cached(sf_dir)
+    return vocabulary(idx.postings())
+
+
+def q_metadata_inversion(spark, sf_dir):
+    from caterpillar_spark.query.vectors import metadata_inversion
+
+    idx = _index_cached(sf_dir)
+    return metadata_inversion(idx.frames, ["lang"], unit="document")
+
+
+def q_filter_range(spark, sf_dir):
+    from caterpillar_spark.query.vectors import filter_range
+
+    return filter_range(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        start=100, end=400, limit=50,
+    )
+
+
+def q_attribute_filter(spark, sf_dir):
+    from caterpillar_spark.query.vectors import attribute_filter
+
+    idx = _index_cached(sf_dir)
+    attrs = idx.frames.select(
+        "doc_id",
+        "frame_seq",
+        F.lit("length_class").alias("type"),
+        F.when(F.col("n_chars") >= 300, "long").otherwise("short").alias("value"),
+    )
+    return attribute_filter(
+        idx.frames, attrs, {"length_class": {"=": "long"}}
+    ).select("doc_id", "n_chars")
+
+
 def q_associations(spark, sf_dir):
     from caterpillar_spark.query.analytics import associations
 
@@ -304,6 +353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_list_stats": q_posting_list_stats,
         "metadata_search": q_metadata_search,
         "metadata_only": q_metadata_only,
+        "tf_vectors": q_tf_vectors,
+        "vocabulary": q_vocabulary,
+        "metadata_inversion": q_metadata_inversion,
+        "filter_range": q_filter_range,
+        "attribute_filter": q_attribute_filter,
         "associations": q_associations,
         "adjacent_bigrams": q_adjacent_bigrams,
         "significant_bigrams": q_significant_bigrams,
@@ -506,6 +560,30 @@ GROUP BY t.doc_id
 SELECT doc_id, lang, n_chars
 FROM documents
 WHERE lang = 'en' AND n_chars >= 200
+""",
+        "tf_vectors": f"""
+WITH {_TOK}
+SELECT doc_id, term, freq::INT AS freq FROM tf
+""",
+        "vocabulary": f"""
+WITH {_TOK}
+SELECT term, tot AS total_freq,
+       row_number() OVER (ORDER BY tot DESC, term ASC)::INT AS term_id
+FROM stats
+""",
+        "metadata_inversion": """
+SELECT 'lang' AS field, lang AS value,
+       count(*)::BIGINT AS n,
+       list_sort(list(doc_id)) AS ids
+FROM documents GROUP BY lang
+""",
+        "filter_range": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id > 100 AND doc_id <= 400
+ORDER BY doc_id ASC LIMIT 50
+""",
+        "attribute_filter": """
+SELECT doc_id, n_chars FROM documents WHERE n_chars >= 300
 """,
         "associations": f"""
 WITH {_TOK}

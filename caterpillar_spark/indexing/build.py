@@ -115,7 +115,8 @@ class InvertedIndex:
 
         m = self.manifest
         return CompressedIndex(
-            self.lists(), m["n_docs"], m["avgdl"], m["num_buckets"]
+            self.lists(), m["n_docs"], m["avgdl"], m["num_buckets"],
+            m.get("block_bits"),
         )
 
 
@@ -177,12 +178,13 @@ def build_index(
             f"{manifest['num_buckets']}, got {num_buckets}"
         )
 
+    # The build reads the frames relation several times (corpus
+    # constants, doc lengths, both posting layouts per slice, field
+    # stats) — persist it so the analysis UDF runs exactly once.
+    # DataFrame.persist defaults to MEMORY_AND_DISK, so at scale this
+    # spills instead of recomputing.
+    frames.persist()
     posts = postings_with_bucket(frames_to_postings(frames), num_buckets)
-    need_multi_pass = checkpoint_groups > 1
-    if need_multi_pass:
-        # Each slice filters the same lineage; cache frames so the
-        # analysis UDF runs once, not once per slice.
-        frames.persist()
 
     # Corpus constants for BM25 (document count, avg doc length) come
     # from the full frames relation, not a slice; cached in the manifest
@@ -267,6 +269,95 @@ def build_index(
         manifest["revision"] = manifest.get("revision", 0) + 1
         _save_manifest(path, manifest)
 
-    if need_multi_pass:
-        frames.unpersist()
+    frames.unpersist()
     return InvertedIndex(spark, path)
+
+
+def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
+    """Remove documents from a persisted index and bump its revision.
+
+    The reference queues soft deletes and applies them at flush by
+    decrementing postings/frames/stats (storage/sqlite.py:336-339,
+    _sqlite_scripts.py:139-189).  The Spark rebuild rewrites instead:
+    an anti-join drops the deleted docs' rows from both posting layouts
+    and the statistics are recomputed from the survivors — on Iceberg
+    this would be a row-level MERGE DELETE; on plain parquet it is a
+    staged rewrite + atomic swap.  A document's terms hash into every
+    bucket, so all partitions are rewritten (deletes are rare,
+    whole-index maintenance events at this layer).
+    """
+    import shutil
+
+    from caterpillar_spark.indexing.postinglists import build_posting_lists
+
+    spark = index.spark
+    manifest = index.manifest
+    ids_df = spark.createDataFrame(
+        [(int(d),) for d in doc_ids], "doc_id long"
+    )
+    remaining = index.postings().join(
+        F.broadcast(ids_df), "doc_id", "left_anti"
+    )
+    # Pseudo-frames from surviving postings (deviation: frames whose
+    # tokens were all stop-marked carry no postings and are lost here;
+    # the reference keeps them — documented in SURVEY §8 terms).
+    pseudo_frames = remaining.dropDuplicates(
+        ["doc_id", "field", "frame_seq"]
+    ).select("doc_id", "field", "frame_seq", "frame_tokens")
+    doc_lens = pseudo_frames.groupBy("doc_id").agg(
+        F.sum("frame_tokens").cast("long").alias("dl")
+    )
+    agg = doc_lens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 1.0)
+    num_buckets = manifest["num_buckets"]
+
+    staging = {}
+    for name in ("postings", "lists", "term_stats", "field_stats"):
+        staging[name] = os.path.join(index.path, f"_{name}.rewrite")
+        shutil.rmtree(staging[name], ignore_errors=True)
+
+    (
+        remaining.repartition("term_bucket")
+        .sortWithinPartitions("term", "doc_id", "frame_seq")
+        .write.partitionBy("term_bucket").mode("overwrite")
+        .parquet(staging["postings"])
+    )
+    (
+        build_posting_lists(
+            remaining.drop("term_bucket"),
+            num_buckets=num_buckets,
+            block_bits=manifest.get("block_bits", 4),
+            avgdl=avgdl,
+            doc_lens=doc_lens,
+        )
+        .repartition("term_bucket").sortWithinPartitions("term", "block")
+        .write.partitionBy("term_bucket").mode("overwrite")
+        .parquet(staging["lists"])
+    )
+    (
+        term_statistics(remaining.drop("term_bucket"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+        )
+        .repartition("term_bucket")
+        .write.partitionBy("term_bucket").mode("overwrite")
+        .parquet(staging["term_stats"])
+    )
+    field_statistics(pseudo_frames).coalesce(1).write.mode("overwrite").parquet(
+        staging["field_stats"]
+    )
+
+    for name, tmp in staging.items():
+        final = os.path.join(index.path, name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+
+    manifest["n_docs"] = n_docs
+    manifest["avgdl"] = avgdl
+    manifest["revision"] = manifest.get("revision", 0) + 1
+    manifest.setdefault("metrics", {})["deleted_docs"] = manifest.get(
+        "metrics", {}
+    ).get("deleted_docs", 0) + len(list(doc_ids))
+    _save_manifest(index.path, manifest)
+    return InvertedIndex(spark, index.path)

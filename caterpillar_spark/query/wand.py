@@ -67,6 +67,7 @@ class CompressedIndex:
     n_docs: int
     avgdl: float
     num_buckets: Optional[int] = None
+    block_bits: Optional[int] = None
 
     @classmethod
     def build(
@@ -96,10 +97,11 @@ class CompressedIndex:
             with open(os.path.join(path, "_meta.json"), "w") as fh:
                 json.dump(
                     {"n_docs": n_docs, "avgdl": avgdl,
-                     "num_buckets": num_buckets}, fh,
+                     "num_buckets": num_buckets,
+                     "block_bits": block_bits}, fh,
                 )
             lists = spark.read.parquet(path)
-        return cls(lists, n_docs, avgdl, num_buckets)
+        return cls(lists, n_docs, avgdl, num_buckets, block_bits)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CompressedIndex":
@@ -107,7 +109,7 @@ class CompressedIndex:
             meta = json.load(fh)
         return cls(
             spark.read.parquet(path), meta["n_docs"], meta["avgdl"],
-            meta.get("num_buckets"),
+            meta.get("num_buckets"), meta.get("block_bits"),
         )
 
 
@@ -163,7 +165,11 @@ def wand_topk(
         return spark.createDataFrame([], "doc_id long, score double")
 
     rows = pruned.select(*_NEEDED)
+    # More partitions than distinct blocks is pure overhead (the
+    # repartition key is `block`), so cap at the block-space size.
     parts = num_partitions or spark.sparkContext.defaultParallelism
+    if index.block_bits:
+        parts = min(parts, 2 ** index.block_bits)
     rows = rows.repartition(parts, "block").sortWithinPartitions("block")
 
     from caterpillar_spark.indexing.codec import decode_doc_gaps, decode_varints

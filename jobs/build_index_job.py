@@ -39,6 +39,8 @@ def main() -> int:
                     help="local[N] master; 0 = use spark-submit's master")
     ap.add_argument("--generate", type=int, default=0,
                     help="first synthesize N webtext docs at --input")
+    ap.add_argument("--generate-only", action="store_true",
+                    help="stop after writing the synthetic corpus")
     ap.add_argument("--num-buckets", type=int, default=32)
     ap.add_argument("--block-bits", type=int, default=4)
     ap.add_argument("--checkpoint-groups", type=int, default=4)
@@ -74,6 +76,10 @@ def main() -> int:
         synthetic_webtext(spark, args.generate, seed=42).write.mode(
             "overwrite"
         ).parquet(args.input)
+        if args.generate_only:
+            print(json.dumps({"generated": args.generate, "input": args.input}))
+            spark.stop()
+            return 0
 
     if args.fresh:
         shutil.rmtree(args.index_path, ignore_errors=True)

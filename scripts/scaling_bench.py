@@ -36,6 +36,10 @@ def run_level(cores: int, input_path: str, use_submit: bool) -> dict:
     args = [
         job, "--cores", str(cores), "--input", input_path,
         "--index-path", idx_path, "--fresh",
+        # one slice for the scaling measurement: checkpointing is a
+        # resumability feature (tested in pytest), and extra slices add
+        # fixed per-job overhead that penalizes the high-core level
+        "--checkpoint-groups", "1",
     ]
     if use_submit:
         import pyspark
@@ -62,7 +66,7 @@ def run_level(cores: int, input_path: str, use_submit: bool) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-docs", type=int, default=40000)
+    ap.add_argument("--n-docs", type=int, default=160000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--python-only", action="store_true",
@@ -75,6 +79,7 @@ def main() -> int:
         gen = subprocess.run(
             [sys.executable, os.path.join(REPO, "jobs", "build_index_job.py"),
              "--cores", "32", "--generate", str(args.n_docs),
+             "--generate-only",
              "--input", input_path, "--index-path", "/tmp/scaling_idx_gen",
              "--fresh", "--reps", "1", "--queries", "the"],
             capture_output=True, text=True,

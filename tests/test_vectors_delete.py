@@ -1,0 +1,127 @@
+"""Vector extraction / inversion / range-scan / attribute operators and
+persisted-index document deletion."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from caterpillar_spark.framing import build_frames, frames_to_postings
+from caterpillar_spark.query.vectors import (
+    attribute_filter,
+    filter_range,
+    metadata_inversion,
+    tf_vectors,
+    vocabulary,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def frames(docs):
+    f = build_frames(docs, metadata_cols=["lang", "n_chars"]).persist()
+    f.count()
+    return f
+
+
+@pytest.fixture(scope="module")
+def postings(frames):
+    return frames_to_postings(frames)
+
+
+def test_tf_vectors_frame_unit(postings):
+    vecs = tf_vectors(postings, unit="frame")
+    row = vecs.where(F.col("doc_id") == 1).collect()[0]
+    manual = {
+        (r["term"]): r["freq"]
+        for r in postings.where(
+            (F.col("doc_id") == 1) & (F.col("frame_seq") == row["frame_seq"])
+        ).collect()
+    }
+    assert {v["term"]: v["freq"] for v in row["vector"]} == manual
+    terms = [v["term"] for v in row["vector"]]
+    assert terms == sorted(terms)
+
+
+def test_vocabulary_ordering(postings):
+    vocab = vocabulary(postings).collect()
+    by_id = sorted(vocab, key=lambda r: r["term_id"])
+    freqs = [r["total_freq"] for r in by_id]
+    assert freqs == sorted(freqs, reverse=True)
+    assert [r["term_id"] for r in by_id] == list(range(1, len(by_id) + 1))
+
+
+def test_metadata_inversion_partitions_total(frames):
+    inv = metadata_inversion(frames, ["lang"], unit="document").collect()
+    n_docs = frames.select("doc_id").distinct().count()
+    assert sum(r["n"] for r in inv) == n_docs
+    for r in inv:
+        assert r["n"] == len(r["ids"])
+        assert list(r["ids"]) == sorted(r["ids"])
+
+
+def test_filter_range_keyset(docs):
+    got = [
+        r["doc_id"]
+        for r in filter_range(
+            docs.select("doc_id"), start=100, end=400, limit=50
+        ).collect()
+    ]
+    want = sorted(
+        r["doc_id"]
+        for r in docs.where(
+            (F.col("doc_id") > 100) & (F.col("doc_id") <= 400)
+        ).collect()
+    )[:50]
+    assert got == want
+
+
+def test_attribute_filter_conjunction(spark, frames):
+    attrs = frames.select(
+        "doc_id",
+        "frame_seq",
+        F.lit("length_class").alias("type"),
+        F.when(F.col("n_chars") >= 300, "long").otherwise("short").alias("value"),
+    ).unionAll(
+        frames.select(
+            "doc_id",
+            "frame_seq",
+            F.lit("lang_tag").alias("type"),
+            F.col("lang").alias("value"),
+        )
+    )
+    out = attribute_filter(
+        frames, attrs, {"length_class": {"=": "long"}, "lang_tag": {"=": "en"}}
+    )
+    expect = frames.where(
+        (F.col("n_chars") >= 300) & (F.col("lang") == "en")
+    ).count()
+    assert out.count() == expect
+
+
+def test_delete_documents(spark, docs, tmp_path):
+    from caterpillar_spark.indexing.build import build_index, delete_documents
+    from caterpillar_spark.query import search
+    from caterpillar_spark.query.wand import wand_topk
+
+    frames = build_frames(docs.limit(80), metadata_cols=["lang"]).persist()
+    path = str(tmp_path / "idx")
+    idx = build_index(frames, path, num_buckets=4, checkpoint_groups=1)
+    rev0 = idx.manifest["revision"]
+    n0 = idx.manifest["n_docs"]
+
+    victims = [r["doc_id"] for r in frames.select("doc_id").distinct().limit(3).collect()]
+    idx2 = delete_documents(idx, victims)
+
+    assert idx2.manifest["revision"] == rev0 + 1
+    assert idx2.manifest["n_docs"] == n0 - 3
+    assert idx2.postings().where(F.col("doc_id").isin(victims)).count() == 0
+    assert idx2.lists().count() > 0
+
+    hits = search(idx2, k=50, unit="document", should=["the", "a", "data"])
+    assert hits.where(F.col("doc_id").isin(victims)).count() == 0
+    wand_hits = wand_topk(idx2.compressed(), ["the", "data"], k=50).collect()
+    assert all(r["doc_id"] not in set(victims) for r in wand_hits)
+    frames.unpersist()
