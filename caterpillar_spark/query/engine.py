@@ -244,6 +244,10 @@ def filter_frames(
             .collect()
         }
         posts = posts.where(F.col("term_bucket").isin(sorted(buckets)))
+    # Redundant with the join semantically, but as a literal predicate it
+    # pushes into the parquet scan where the term-sorted file layout
+    # turns it into row-group min/max pruning.
+    posts = posts.where(F.col("term").isin([t for t, _, _ in rows]))
     posts = _field_scope(posts, include_fields, exclude_fields)
     if metadata:
         posts = posts.where(metadata_predicate(metadata))

@@ -1,0 +1,219 @@
+"""Incremental index maintenance with Structured Streaming.
+
+The reference is a batch engine with *transactional increments*: each
+``IndexWriter.commit()`` merges staged postings/statistics into the
+stored index and bumps a monotone revision tuple
+(storage/sqlite.py:133-150, _sqlite_scripts.py:305-341,
+_sqlite_v0_10_0_schema.py:223-251).  The Spark-native restatement is a
+``readStream -> foreachBatch`` loop over the webtext table's landing
+directory: every micro-batch appends both posting layouts and *partial*
+statistics rows, then bumps the manifest revision — one manifest entry
+per batch is the lineage.
+
+Design decisions (documented deviations):
+
+* **Partial statistics, merge-on-read.**  Per-batch term/field
+  statistics are appended as partial rows; the query engine already
+  aggregates statistics with ``groupBy(term).agg(sum(...))``
+  (query/engine.py:_resolve_weights), so readers see exact merged
+  numbers without a rewrite — the reference's UNION-ALL + re-sum merge
+  (_sqlite_scripts.py:305-341) becomes the read path.
+  :func:`compact_statistics` folds the partials back into one row per
+  key (run it periodically, like the reference's flush).
+* **Frozen avgdl for block-max bounds.**  ``max_score_q`` stored in a
+  block is computed against the avgdl in the manifest at append time.
+  WAND must score with the same avgdl its bounds were built with, so
+  the manifest avgdl is frozen at the first build and only refreshed by
+  a full rebuild/compaction; document frequencies and N stay live.
+  (Refreshing avgdl per batch would silently invalidate older blocks'
+  upper bounds — stale-upward is safe, stale-downward is not.)
+* Appends are idempotent per Structured Streaming's exactly-once
+  ``foreachBatch`` contract with a checkpointLocation; the manifest
+  batch ledger double-checks (a replayed batch_id is skipped).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from caterpillar_spark.indexing.build import (
+    InvertedIndex,
+    _load_manifest,
+    _save_manifest,
+    field_statistics,
+    postings_with_bucket,
+    term_statistics,
+)
+from caterpillar_spark.framing import build_frames, frames_to_postings
+
+
+def append_batch(
+    frames: DataFrame,
+    path: str,
+    num_buckets: int = 64,
+    block_bits: int = 4,
+    batch_id: Optional[int] = None,
+) -> InvertedIndex:
+    """Append one batch of frames to the index at ``path`` (creating it
+    if absent) and bump the revision.  Safe to call directly for
+    batch-mode incremental loads; ``start_incremental_index`` calls it
+    from foreachBatch."""
+    from caterpillar_spark.indexing.postinglists import build_posting_lists
+
+    spark = frames.sparkSession
+    manifest = _load_manifest(path) or {
+        "revision": 0,
+        "num_buckets": num_buckets,
+        "block_bits": block_bits,
+        "checkpoint_groups": 1,
+        "completed_slices": {},
+        "stats_done": True,
+        "metrics": {},
+        "batches": {},
+    }
+    manifest.setdefault("batches", {})
+    if batch_id is not None and str(batch_id) in manifest["batches"]:
+        return InvertedIndex(spark, path)  # replayed batch: already applied
+    num_buckets = manifest["num_buckets"]
+
+    t0 = time.time()
+    frames.persist()
+    doc_tok = frames.groupBy("doc_id").agg(
+        F.sum("frame_tokens").cast("long").alias("dl")
+    )
+    agg = doc_tok.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tok")
+    ).collect()[0]
+    batch_docs, batch_tokens = int(agg["n"]), int(agg["tok"] or 0)
+    if "avgdl" not in manifest:
+        manifest["avgdl"] = batch_tokens / batch_docs if batch_docs else 1.0
+        manifest["n_docs"] = 0
+        manifest["total_tokens"] = 0
+
+    posts = postings_with_bucket(frames_to_postings(frames), num_buckets)
+    (
+        posts.repartition("term_bucket")
+        .sortWithinPartitions("term", "doc_id", "frame_seq")
+        .write.partitionBy("term_bucket").mode("append")
+        .parquet(os.path.join(path, "postings"))
+    )
+    (
+        build_posting_lists(
+            posts.drop("term_bucket"),
+            num_buckets=num_buckets,
+            block_bits=manifest["block_bits"],
+            avgdl=manifest["avgdl"],
+            doc_lens=doc_tok,
+        )
+        .repartition("term_bucket").sortWithinPartitions("term", "block")
+        .write.partitionBy("term_bucket").mode("append")
+        .parquet(os.path.join(path, "lists"))
+    )
+    (
+        term_statistics(posts.drop("term_bucket"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+        )
+        .repartition("term_bucket")
+        .write.partitionBy("term_bucket").mode("append")
+        .parquet(os.path.join(path, "term_stats"))
+    )
+    field_statistics(frames).coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "field_stats")
+    )
+    frames.unpersist()
+
+    manifest["n_docs"] += batch_docs
+    manifest["total_tokens"] = manifest.get("total_tokens", 0) + batch_tokens
+    manifest["revision"] += 1
+    key = str(batch_id) if batch_id is not None else f"rev{manifest['revision']}"
+    manifest["batches"][key] = {
+        "docs": batch_docs,
+        "tokens": batch_tokens,
+        "seconds": round(time.time() - t0, 3),
+    }
+    _save_manifest(path, manifest)
+    return InvertedIndex(spark, path)
+
+
+def start_incremental_index(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    num_buckets: int = 64,
+    block_bits: int = 4,
+    metadata_cols=("lang",),
+    max_files_per_trigger: Optional[int] = None,
+    available_now: bool = True,
+):
+    """Tail the webtext landing directory and fold new files into the
+    index, one revision per micro-batch."""
+    from caterpillar_spark.sources import WEBTEXT_SCHEMA, ingest_webtext
+
+    reader = spark.readStream.schema(WEBTEXT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        frames = build_frames(
+            ingest_webtext(batch_df), metadata_cols=list(metadata_cols)
+        )
+        append_batch(
+            frames, index_path, num_buckets=num_buckets,
+            block_bits=block_bits, batch_id=batch_id,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_statistics(index: InvertedIndex) -> None:
+    """Fold appended partial statistics rows into one row per key (the
+    reference's flush-time merge, _sqlite_scripts.py:305-341)."""
+    import shutil
+
+    spark = index.spark
+    ts_path = os.path.join(index.path, "term_stats")
+    fs_path = os.path.join(index.path, "field_stats")
+    merged_ts = (
+        index.term_stats()
+        .groupBy("term", "field", "term_bucket")
+        .agg(
+            F.sum("total_occurrences").alias("total_occurrences"),
+            F.sum("frames_occuring").alias("frames_occuring"),
+            F.sum("docs_occuring").alias("docs_occuring"),
+        )
+    )
+    merged_fs = (
+        index.field_stats()
+        .groupBy("field")
+        .agg(
+            F.sum("frame_count").alias("frame_count"),
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("token_count").alias("token_count"),
+            (F.sum("token_count") / F.sum("frame_count")).alias(
+                "avg_frame_tokens"
+            ),
+        )
+    )
+    for df, path, part in ((merged_ts, ts_path, "term_bucket"),
+                           (merged_fs, fs_path, None)):
+        tmp = path + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        w = df.repartition(part).write.partitionBy(part) if part else df.coalesce(1).write
+        w.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)

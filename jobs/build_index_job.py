@@ -53,12 +53,18 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    import os
+
     builder = SparkSession.builder.appName("caterpillar-index-build")
     if args.cores:
         builder = (
             builder.master(f"local[{args.cores}]")
             .config("spark.sql.shuffle.partitions", str(args.cores))
             .config("spark.default.parallelism", str(args.cores))
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", "24g"),
+            )
         )
     spark = (
         builder.config("spark.sql.adaptive.enabled", "true")

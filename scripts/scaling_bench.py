@@ -50,7 +50,9 @@ def run_level(cores: int, input_path: str, use_submit: bool) -> dict:
             ["bash", os.path.join(REPO, "scripts", "make_dist.sh")],
             check=True, capture_output=True,
         )
-        cmd = [submit, "--master", f"local[{cores}]", "--py-files", zipf, *args]
+        cmd = [submit, "--master", f"local[{cores}]", "--driver-memory",
+               os.environ.get("SPARK_DRIVER_MEM", "24g"), "--py-files", zipf,
+               *args]
         env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     else:
         cmd = [sys.executable, *args]

@@ -1,0 +1,93 @@
+"""Incremental (Structured Streaming) index maintenance: per-batch
+revisions, exact statistics merge-on-read, idempotent replay,
+compaction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from caterpillar_spark.framing import build_frames
+from caterpillar_spark.query import MemoryIndex, search
+from caterpillar_spark.sources import ingest_webtext, synthetic_webtext
+from caterpillar_spark.streaming import (
+    append_batch,
+    compact_statistics,
+    start_incremental_index,
+)
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    land = str(root / "landing")
+    # two deterministic file-batches: docs 0..149 then 150..299 (the
+    # generator is keyed on (seed, ordinal), so the first 150 of the
+    # 300-doc corpus are exactly batch A)
+    a = synthetic_webtext(spark, 150, seed=21, partitions=1)
+    a_urls = [r["url"] for r in a.select("url").collect()]
+    b = synthetic_webtext(spark, 300, seed=21, partitions=1).where(
+        ~F.col("url").isin(a_urls)
+    )
+    a.coalesce(1).write.mode("append").parquet(land)
+    b.coalesce(1).write.mode("append").parquet(land)
+    return root, land
+
+
+def test_incremental_stream_builds_index(spark, landing):
+    root, land = landing
+    idx_path = str(root / "idx")
+    ckpt = str(root / "ckpt")
+
+    q = start_incremental_index(
+        spark, land, idx_path, ckpt,
+        num_buckets=4, block_bits=3, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    from caterpillar_spark.indexing.build import InvertedIndex
+
+    idx = InvertedIndex(spark, idx_path)
+    m = idx.manifest
+    assert m["revision"] == 2
+    assert len(m["batches"]) == 2
+    assert m["n_docs"] == 300
+    assert idx.postings().select("doc_id").distinct().count() == 300
+
+    # TF-IDF scoring has no avgdl dependence: the streaming-built index
+    # must score identically to a one-shot in-memory index of the full
+    # corpus (statistics partials merge exactly on read).
+    full = ingest_webtext(synthetic_webtext(spark, 300, seed=21))
+    mem = MemoryIndex(build_frames(full, metadata_cols=["lang"]))
+    got = search(idx, k=10, unit="document", should=["the", "data"]).collect()
+    want = search(mem, k=10, unit="document", should=["the", "data"]).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+    # WAND over the incrementally-appended compressed lists covers the
+    # whole corpus and is internally consistent (bounds never skip a
+    # true top-k doc even with multiple block rows per term).
+    from caterpillar_spark.query.wand import wand_topk
+
+    cidx = idx.compressed()
+    top = wand_topk(cidx, ["the", "data"], k=10).collect()
+    assert len(top) == 10
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+    # replaying an already-applied batch id is a no-op
+    frames = build_frames(full.limit(5), metadata_cols=["lang"])
+    rev_before = idx.manifest["revision"]
+    append_batch(frames, idx_path, batch_id=0)
+    assert idx.manifest["revision"] == rev_before
+
+    # compaction folds stats partials without changing results
+    n_rows_before = idx.term_stats().count()
+    compact_statistics(idx)
+    assert idx.term_stats().count() < n_rows_before
+    got2 = search(idx, k=10, unit="document", should=["the", "data"]).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got2] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    assert os.path.exists(os.path.join(idx_path, "manifest.json"))
