@@ -135,6 +135,20 @@ def main() -> None:
     bm25_p50 = bench_query(bm25, warmups=1, reps=7)
     queries["bm25_topk"] = round(bm25_p50, 4)
 
+    from caterpillar_spark.query.wand import CompressedIndex, wand_topk
+
+    t0 = time.perf_counter()
+    cidx = CompressedIndex.build(idx.postings(), num_buckets=16, block_bits=4)
+    cidx.lists = cidx.lists.persist()
+    cidx.lists.count()
+    queries["compressed_build"] = round(time.perf_counter() - t0, 4)
+    queries["wand_bm25_topk"] = round(
+        bench_query(
+            lambda: run(wand_topk(cidx, TOPK_TERMS, k=10)), warmups=1, reps=7
+        ),
+        4,
+    )
+
     queries["tfidf_topk"] = round(
         bench_query(
             lambda: run(

@@ -214,9 +214,14 @@ def build_index(
             continue
         t0 = time.time()
         slice_df = posts.where((F.col("term_bucket") >= lo) & (F.col("term_bucket") < hi))
+        # Write parallelism is decoupled from the bucket count: shuffle
+        # by term hash (a term's rows colocate, so term-sorted files and
+        # row-group pruning survive), so every core writes even when
+        # num_buckets < cores; the writer routes rows into bucket dirs.
+        wp = max(spark.sparkContext.defaultParallelism * 2, 2)
         (
-            slice_df.repartition("term_bucket")
-            .sortWithinPartitions("term", "doc_id", "frame_seq")
+            slice_df.repartition(wp, "term")
+            .sortWithinPartitions("term_bucket", "term", "doc_id", "frame_seq")
             .write.partitionBy("term_bucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
@@ -230,8 +235,8 @@ def build_index(
                 avgdl=manifest["avgdl"],
                 doc_lens=doc_lens,
             )
-            .repartition("term_bucket")
-            .sortWithinPartitions("term", "block")
+            .repartition(wp, "term")
+            .sortWithinPartitions("term_bucket", "term", "block")
             .write.partitionBy("term_bucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
@@ -256,7 +261,10 @@ def build_index(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
             )
-            .repartition("term_bucket")
+            .repartition(
+                max(spark.sparkContext.defaultParallelism, 2), "term"
+            )
+            .sortWithinPartitions("term_bucket", "term")
             .write.partitionBy("term_bucket")
             .mode("overwrite")
             .parquet(os.path.join(path, "term_stats"))

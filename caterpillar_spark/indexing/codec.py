@@ -20,42 +20,66 @@ _CONT = 0x80
 
 
 def encode_varints(values: Sequence[int]) -> bytes:
-    """LEB128-encode a sequence of non-negative ints (each < 2**64)."""
-    out = bytearray()
-    for v in values:
-        v = int(v)
-        if v < 0:
+    """LEB128-encode a sequence of non-negative ints (each < 2**64).
+
+    Vectorized: ~10 numpy passes (one per possible varint byte) instead
+    of a per-value Python loop — this runs inside the index-build UDF
+    over millions of postings."""
+    if isinstance(values, np.ndarray) and values.dtype == np.uint64:
+        arr = values
+    elif isinstance(values, np.ndarray) and values.dtype.kind == "i":
+        if values.size and int(values.min()) < 0:
             raise ValueError("varint values must be non-negative")
-        while True:
-            b = v & _MASK
-            v >>= 7
-            if v:
-                out.append(b | _CONT)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+        arr = values.astype(np.uint64)
+    else:
+        lst = [int(v) for v in values]
+        if any(v < 0 or v >= 2**64 for v in lst):
+            raise ValueError("varint values must be in [0, 2**64)")
+        arr = np.array(lst, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlength/7), min 1
+    nbits = np.zeros(arr.shape, dtype=np.int64)
+    tmp = arr.copy()
+    while np.any(tmp):
+        nz = tmp != 0
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    max_b = int(nbytes.max())
+    for i in range(max_b):
+        sel = nbytes > i
+        chunk = ((arr[sel] >> np.uint64(7 * i)) & np.uint64(_MASK)).astype(
+            np.uint8
+        )
+        cont = (nbytes[sel] > i + 1).astype(np.uint8) * _CONT
+        out[offsets[sel] + i] = chunk | cont
+    return out.tobytes()
 
 
 def decode_varints(data: bytes) -> np.ndarray:
     """Decode a LEB128 byte string to an int64 numpy array (values are
     produced mod 2**64 then reinterpreted signed, matching encode of
-    Python ints below 2**64)."""
+    Python ints below 2**64).  Vectorized with reduceat — this runs in
+    the WAND scorer's hot path."""
     if not data:
         return np.empty(0, dtype=np.int64)
     buf = np.frombuffer(data, dtype=np.uint8)
-    values = []
-    acc = 0
-    shift = 0
-    for b in buf:
-        acc |= (int(b) & _MASK) << shift
-        if b & _CONT:
-            shift += 7
-        else:
-            values.append(acc & 0xFFFFFFFFFFFFFFFF)
-            acc = 0
-            shift = 0
-    return np.array(values, dtype=np.uint64).astype(np.int64)
+    ends = np.flatnonzero(buf < _CONT)
+    starts = np.empty(ends.shape, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    within = np.arange(buf.size, dtype=np.int64)
+    # position of each byte inside its value group
+    group = np.searchsorted(ends, within, side="left")
+    within = within - starts[group]
+    contrib = (buf.astype(np.uint64) & np.uint64(_MASK)) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, starts).astype(np.int64)
 
 
 def encode_doc_gaps(doc_ids: Sequence[int]) -> bytes:

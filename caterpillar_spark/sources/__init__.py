@@ -1,3 +1,7 @@
+from caterpillar_spark.sources.csv_schema import (
+    classify_csv_columns,
+    read_csv_with_schema,
+)
 from caterpillar_spark.sources.webtext import (
     WEBTEXT_SCHEMA,
     extract_text,
@@ -7,7 +11,9 @@ from caterpillar_spark.sources.webtext import (
 
 __all__ = [
     "WEBTEXT_SCHEMA",
+    "classify_csv_columns",
     "extract_text",
     "ingest_webtext",
+    "read_csv_with_schema",
     "synthetic_webtext",
 ]

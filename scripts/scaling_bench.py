@@ -30,8 +30,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cores: int, input_path: str, use_submit: bool) -> dict:
-    idx_path = f"/tmp/scaling_idx_{cores}"
-    shutil.rmtree(idx_path, ignore_errors=True)
+    # Shuffle files and index output go to tmpfs: the sandbox has ONE
+    # shared virtio disk, and 32 concurrent writers saturate it — an
+    # artifact a real cluster (per-executor local disks + distributed
+    # FS) doesn't have.  tmpfs isolates the compute-scaling signal.
+    workdir = f"/dev/shm/scaling_{cores}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir, exist_ok=True)
+    idx_path = os.path.join(workdir, "idx")
     job = os.path.join(REPO, "jobs", "build_index_job.py")
     args = [
         job, "--cores", str(cores), "--input", input_path,
@@ -51,19 +57,24 @@ def run_level(cores: int, input_path: str, use_submit: bool) -> dict:
             check=True, capture_output=True,
         )
         cmd = [submit, "--master", f"local[{cores}]", "--driver-memory",
-               os.environ.get("SPARK_DRIVER_MEM", "24g"), "--py-files", zipf,
+               os.environ.get("SPARK_DRIVER_MEM", "24g"),
+               "--conf", f"spark.local.dir={workdir}/spark-local",
+               "--py-files", zipf,
                *args]
         env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     else:
         cmd = [sys.executable, *args]
-        env = {**os.environ, "PYTHONPATH": REPO}
+        env = {**os.environ, "PYTHONPATH": REPO,
+               "SPARK_LOCAL_DIRS": f"{workdir}/spark-local"}
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
                          cwd="/tmp", timeout=3600)
     if out.returncode != 0:
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
         raise SystemExit(f"level local[{cores}] failed")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return res
 
 
 def main() -> int:
