@@ -208,6 +208,8 @@ def build_index(
          (g + 1) * num_buckets // checkpoint_groups)
         for g in range(checkpoint_groups)
     ]
+    from concurrent.futures import ThreadPoolExecutor
+
     for g, (lo, hi) in enumerate(bounds):
         key = str(g)
         if key in manifest["completed_slices"]:
@@ -219,29 +221,41 @@ def build_index(
         # row-group pruning survive), so every core writes even when
         # num_buckets < cores; the writer routes rows into bucket dirs.
         wp = max(spark.sparkContext.defaultParallelism * 2, 2)
-        (
-            slice_df.repartition(wp, "term")
-            .sortWithinPartitions("term_bucket", "term", "doc_id", "frame_seq")
-            .write.partitionBy("term_bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(os.path.join(path, "postings"))
-        )
-        (
-            build_posting_lists(
-                slice_df.drop("term_bucket"),
-                num_buckets=num_buckets,
-                block_bits=manifest["block_bits"],
-                avgdl=manifest["avgdl"],
-                doc_lens=doc_lens,
+
+        def write_postings():
+            (
+                slice_df.repartition(wp, "term")
+                .sortWithinPartitions("term_bucket", "term", "doc_id", "frame_seq")
+                .write.partitionBy("term_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(os.path.join(path, "postings"))
             )
-            .repartition(wp, "term")
-            .sortWithinPartitions("term_bucket", "term", "block")
-            .write.partitionBy("term_bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(os.path.join(path, "lists"))
-        )
+
+        def write_lists():
+            (
+                build_posting_lists(
+                    slice_df.drop("term_bucket"),
+                    num_buckets=num_buckets,
+                    block_bits=manifest["block_bits"],
+                    avgdl=manifest["avgdl"],
+                    doc_lens=doc_lens,
+                )
+                .repartition(wp, "term")
+                .sortWithinPartitions("term_bucket", "term", "block")
+                .write.partitionBy("term_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(os.path.join(path, "lists"))
+            )
+
+        # The two layouts derive from the same persisted frames and
+        # write to different directories — run them as concurrent Spark
+        # jobs so task tails of one fill the other's scheduler gaps.
+        with ThreadPoolExecutor(2) as pool:
+            futs = [pool.submit(write_postings), pool.submit(write_lists)]
+            for f in futs:
+                f.result()
         manifest["completed_slices"][key] = {
             "bucket_lo": lo,
             "bucket_hi": hi,
@@ -251,10 +265,11 @@ def build_index(
 
     if not manifest.get("stats_done"):
         t0 = time.time()
-        written = postings_with_bucket(
-            spark.read.parquet(os.path.join(path, "postings")).drop("term_bucket"),
-            num_buckets,
-        )
+        # The pipeline is deterministic in `frames`, so the in-memory
+        # postings relation equals what the slices persisted (also on
+        # resume, where the caller passes the same input) — aggregate it
+        # directly instead of reading the parquet back.
+        written = posts.drop("term_bucket")
         (
             term_statistics(written)
             .withColumn(

@@ -66,6 +66,9 @@ def main() -> int:
                 "spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEM", "24g"),
             )
+            # small webtext files otherwise pack into a handful of
+            # splits and serialize the scan + ingest shuffle
+            .config("spark.sql.files.maxPartitionBytes", "8m")
         )
     spark = (
         builder.config("spark.sql.adaptive.enabled", "true")
