@@ -210,68 +210,46 @@ def build_index(
     ]
     from concurrent.futures import ThreadPoolExecutor
 
-    for g, (lo, hi) in enumerate(bounds):
-        key = str(g)
-        if key in manifest["completed_slices"]:
-            continue
-        t0 = time.time()
-        slice_df = posts.where((F.col("term_bucket") >= lo) & (F.col("term_bucket") < hi))
-        # Write parallelism is decoupled from the bucket count: shuffle
-        # by term hash (a term's rows colocate, so term-sorted files and
-        # row-group pruning survive), so every core writes even when
-        # num_buckets < cores; the writer routes rows into bucket dirs.
-        wp = max(spark.sparkContext.defaultParallelism * 2, 2)
+    # Write parallelism is decoupled from the bucket count: shuffle by
+    # term hash (a term's rows colocate, so term-sorted files and
+    # row-group pruning survive), so every core writes even when
+    # num_buckets < cores; the writer routes rows into bucket dirs.
+    wp = max(spark.sparkContext.defaultParallelism * 2, 2)
 
-        def write_postings():
-            (
-                slice_df.repartition(wp, "term")
-                .sortWithinPartitions("term_bucket", "term", "doc_id", "frame_seq")
-                .write.partitionBy("term_bucket")
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite")
-                .parquet(os.path.join(path, "postings"))
+    def write_postings(slice_df):
+        (
+            slice_df.repartition(wp, "term")
+            .sortWithinPartitions("term_bucket", "term", "doc_id", "frame_seq")
+            .write.partitionBy("term_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "postings"))
+        )
+
+    def write_lists(slice_df):
+        (
+            build_posting_lists(
+                slice_df.drop("term_bucket"),
+                num_buckets=num_buckets,
+                block_bits=manifest["block_bits"],
+                avgdl=manifest["avgdl"],
+                doc_lens=doc_lens,
             )
+            .repartition(wp, "term")
+            .sortWithinPartitions("term_bucket", "term", "block")
+            .write.partitionBy("term_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "lists"))
+        )
 
-        def write_lists():
-            (
-                build_posting_lists(
-                    slice_df.drop("term_bucket"),
-                    num_buckets=num_buckets,
-                    block_bits=manifest["block_bits"],
-                    avgdl=manifest["avgdl"],
-                    doc_lens=doc_lens,
-                )
-                .repartition(wp, "term")
-                .sortWithinPartitions("term_bucket", "term", "block")
-                .write.partitionBy("term_bucket")
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite")
-                .parquet(os.path.join(path, "lists"))
-            )
-
-        # The two layouts derive from the same persisted frames and
-        # write to different directories — run them as concurrent Spark
-        # jobs so task tails of one fill the other's scheduler gaps.
-        with ThreadPoolExecutor(2) as pool:
-            futs = [pool.submit(write_postings), pool.submit(write_lists)]
-            for f in futs:
-                f.result()
-        manifest["completed_slices"][key] = {
-            "bucket_lo": lo,
-            "bucket_hi": hi,
-            "seconds": round(time.time() - t0, 3),
-        }
-        _save_manifest(path, manifest)
-
-    if not manifest.get("stats_done"):
-        t0 = time.time()
+    def write_term_stats():
         # The pipeline is deterministic in `frames`, so the in-memory
         # postings relation equals what the slices persisted (also on
         # resume, where the caller passes the same input) — aggregate it
         # directly instead of reading the parquet back.
-        written = posts.drop("term_bucket")
         (
-            term_statistics(written)
+            term_statistics(posts.drop("term_bucket"))
             .withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
@@ -284,13 +262,53 @@ def build_index(
             .mode("overwrite")
             .parquet(os.path.join(path, "term_stats"))
         )
+
+    def write_field_stats():
         field_statistics(frames).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "field_stats")
         )
-        manifest["stats_done"] = True
-        manifest["metrics"]["stats_seconds"] = round(time.time() - t0, 3)
-        manifest["revision"] = manifest.get("revision", 0) + 1
-        _save_manifest(path, manifest)
+
+    # All outputs derive from the same persisted frames and land in
+    # different directories, so they run as concurrent Spark jobs — one
+    # job's task tail fills another's scheduler gap.  Checkpoint
+    # granularity is preserved: a slice's manifest entry is written only
+    # once both of its layouts are on disk, and a crash simply re-runs
+    # unacknowledged slices (idempotent dynamic partition overwrite).
+    with ThreadPoolExecutor(4) as pool:
+        t0 = time.time()
+        slice_futs = []
+        for g, (lo, hi) in enumerate(bounds):
+            key = str(g)
+            if key in manifest["completed_slices"]:
+                continue
+            slice_df = posts.where(
+                (F.col("term_bucket") >= lo) & (F.col("term_bucket") < hi)
+            )
+            slice_futs.append(
+                (key, lo, hi,
+                 [pool.submit(write_postings, slice_df),
+                  pool.submit(write_lists, slice_df)])
+            )
+        stats_futs = []
+        if not manifest.get("stats_done"):
+            stats_futs = [pool.submit(write_term_stats),
+                          pool.submit(write_field_stats)]
+        for key, lo, hi, futs in slice_futs:
+            for f in futs:
+                f.result()
+            manifest["completed_slices"][key] = {
+                "bucket_lo": lo,
+                "bucket_hi": hi,
+                "seconds": round(time.time() - t0, 3),
+            }
+            _save_manifest(path, manifest)
+        if stats_futs:
+            for f in stats_futs:
+                f.result()
+            manifest["stats_done"] = True
+            manifest["metrics"]["stats_seconds"] = round(time.time() - t0, 3)
+            manifest["revision"] = manifest.get("revision", 0) + 1
+            _save_manifest(path, manifest)
 
     frames.unpersist()
     return InvertedIndex(spark, path)

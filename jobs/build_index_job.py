@@ -69,7 +69,14 @@ def main() -> int:
             # small webtext files otherwise pack into a handful of
             # splits and serialize the scan + ingest shuffle
             .config("spark.sql.files.maxPartitionBytes", "8m")
+            # our shuffles are ~10MB/partition: the 64MB advisory target
+            # would coalesce reduce stages below the core count
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         )
+    for kv in os.environ.get("SPARK_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -105,7 +112,8 @@ def main() -> int:
         lambda it: it, "id long"
     ).count()
 
-    t0 = time.perf_counter()
+    t_start = time.perf_counter()
+    t0 = t_start
     # Fan the docs out to every core before the analysis UDF: the text
     # payload is small enough that the parquet scan would otherwise
     # coalesce into a handful of input splits (maxPartitionBytes) and
@@ -143,6 +151,14 @@ def main() -> int:
         "query_p50": latencies,
         "manifest_revision": idx.manifest["revision"],
         "cores": args.cores or "submit-default",
+    }
+    m = idx.manifest
+    slice_s = sum(v["seconds"] for v in m["completed_slices"].values())
+    stats_s = m["metrics"].get("stats_seconds", 0.0)
+    out["phases"] = {
+        "frames_and_constants": round(build_s - slice_s - stats_s, 3),
+        "slice_writes": round(slice_s, 3),
+        "stats": round(stats_s, 3),
     }
     print(json.dumps(out))
     spark.stop()
