@@ -236,7 +236,7 @@ def q_significant_bigrams(spark, sf_dir):
     from caterpillar_spark.query.analytics import significant_bigrams
 
     idx = _index_cached(sf_dir)
-    return significant_bigrams(idx.postings(), min_count=3, threshold=1.0)
+    return significant_bigrams(idx.postings(), min_count=2, threshold=0.05)
 
 
 def q_ngram_search(spark, sf_dir):
@@ -611,7 +611,7 @@ pairs AS (
     FROM tok a
     JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
     GROUP BY a.term, b.term
-    HAVING count(DISTINCT a.doc_id) >= 3
+    HAVING count(DISTINCT a.doc_id) >= 2
 ),
 vocab AS (SELECT count(*)::DOUBLE AS v FROM stats)
 SELECT p.term_a, p.term_b, p.n_frames,
@@ -620,7 +620,7 @@ FROM pairs p
 JOIN stats sa ON p.term_a = sa.term
 JOIN stats sb ON p.term_b = sb.term
 CROSS JOIN vocab v
-WHERE p.n_frames * v.v / (sa.ff * sb.ff) > 1.0
+WHERE p.n_frames * v.v / (sa.ff * sb.ff) > 0.05
 """,
         "ngram_search": f"""
 WITH {_TOK}
