@@ -180,7 +180,12 @@ def main() -> None:
         4,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf corpus is one small parquet file = one input split; spread
+    # the corpus-ops work across cores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        cpus
+    ).persist()
+    docs.count()
     queries["significant_bigrams"] = round(
         bench_query(
             lambda: run(significant_bigrams(idx.postings(), min_count=3, threshold=1.0)),

@@ -89,25 +89,47 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    dedup_shingles: bool = True,
 ) -> DataFrame:
     """Per-document MinHash signature: columns sig_0..sig_{k-1}.
 
     Each signature is ``min over shingles of h_i(shingle)`` with
-    ``h_i(s) = md5_long(i + ':' + s)`` — one narrow projection, no
-    shuffle, no Python.
+    ``h_i(s) = md5_long(i + ':' + s)``.
+
+    With ``dedup_shingles`` (default) the k hashes are computed once per
+    *distinct* shingle and min-aggregated back per document — web
+    corpora repeat shingles heavily (boilerplate), so this trades one
+    partial-aggregated shuffle for a large cut in md5 work.  The
+    signature values are identical either way; the False path is the
+    shuffle-free narrow projection (better for tiny inputs).
     """
     sh = shingles_col(text_col, shingle_n)
-    out = docs.select(F.col(id_col), sh.alias("_sh"))
-    sigs = [
-        F.array_min(
-            F.transform(
-                F.col("_sh"),
-                lambda s, i=i: md5_long(F.concat(F.lit(f"{i}:"), s)),
-            )
-        ).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return out.select(F.col(id_col), *sigs)
+    if not dedup_shingles:
+        out = docs.select(F.col(id_col), sh.alias("_sh"))
+        sigs = [
+            F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda s, i=i: md5_long(F.concat(F.lit(f"{i}:"), s)),
+                )
+            ).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+        return out.select(F.col(id_col), *sigs)
+
+    exploded = docs.select(F.col(id_col), F.explode(sh).alias("_shingle"))
+    hashed = exploded.select(F.col("_shingle")).distinct().select(
+        "_shingle",
+        *[
+            md5_long(F.concat(F.lit(f"{i}:"), F.col("_shingle"))).alias(f"h_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return (
+        exploded.join(hashed, "_shingle")
+        .groupBy(id_col)
+        .agg(*[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)])
+    )
 
 
 def lsh_candidates(
