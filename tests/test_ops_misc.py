@@ -1,0 +1,121 @@
+"""Unit coverage for corpus ops, DateTime tokenization, case-fold
+suggestions, and custom analyser stacks (items the driver oracles cover
+only end-to-end)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from caterpillar_spark.analysis.analyser import Analyser
+from caterpillar_spark.analysis.tokenize import DateTimeTokenizer, RegexpTokenizer
+from caterpillar_spark.analysis.filters import LowercaseFilter
+
+
+def test_datetime_tokenizer_iso_utc():
+    t = DateTimeTokenizer()
+    assert next(t.tokenize("2024-03-01T10:30:00Z")).value == "2024-03-01T10:30:00+00:00"
+    assert next(t.tokenize("2024-03-01 10:30:00+02:00")).value == "2024-03-01T08:30:00+00:00"
+    # naive treated as UTC
+    assert next(t.tokenize("2024-03-01T10:30:00")).value == "2024-03-01T10:30:00+00:00"
+
+
+def test_datetime_tokenizer_formats_and_ignore_tz():
+    t = DateTimeTokenizer(datetime_formats=["%d/%m/%Y %H:%M"], ignore_tz=True)
+    assert next(t.tokenize("01/03/2024 10:30")).value == "2024-03-01T10:30:00"
+    with pytest.raises(ValueError):
+        next(t.tokenize("not a date"))
+
+
+def test_case_fold_terms(spark):
+    from caterpillar_spark.framing import build_frames, frames_to_postings
+    from caterpillar_spark.query.analytics import case_fold_terms
+
+    rows = (
+        [(i, "fresh apple tart") for i in range(15)]
+        + [(100 + i, "fresh Apple pie") for i in range(5)]  # mid-sentence
+        + [(200 + i, "eat APPLE cart") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    posts = frames_to_postings(build_frames(docs, frame_size=0))
+    out = {r["variant"]: r["fold_to"] for r in case_fold_terms(posts).collect()}
+    # 'apple' dominates (15 frames); rarer casings fold into it
+    assert out.get("Apple") == "apple"
+    assert out.get("APPLE") == "apple"
+
+
+def test_custom_analyser_stack():
+    """SURVEY §2.10: user-supplied tokenizer+filter pipelines."""
+
+    class ShoutAnalyser(Analyser):
+        def get_tokenizer(self):
+            return RegexpTokenizer(r"\w+")
+
+        def get_filters(self):
+            return [LowercaseFilter()]
+
+    toks = [t.value for t in ShoutAnalyser().analyse("FOO Bar baz")]
+    assert toks == ["foo", "bar", "baz"]
+
+
+def test_simhash_close_for_similar_docs(spark):
+    from caterpillar_spark.ops import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy cat again and again"),
+         (3, "completely unrelated text about spark partitions and shuffles")],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    d12 = bin(h[1] ^ h[2]).count("1")
+    d13 = bin(h[1] ^ h[3]).count("1")
+    assert d12 < d13
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from caterpillar_spark.ops import cosine_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[0]
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, [float(x) for x in q], k=5).collect()]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = sorted(range(30), key=lambda i: (-sims[i], i))[:5]
+    assert [d for d, _ in got] == want
+    for (d, c) in got:
+        assert math.isclose(c, float(sims[d]), rel_tol=1e-5, abs_tol=1e-5)
+
+
+def test_ann_topk_subset_of_bruteforce_space(spark):
+    from caterpillar_spark.ops import ann_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = ann_topk(emb, [float(x) for x in vecs[3]], k=5, num_planes=4).collect()
+    assert 0 < len(got) <= 5
+    # the query's own bucket always contains the query vector itself
+    assert got[0]["vec_id"] == 3
+
+
+def test_quality_scores_ranges(spark):
+    from caterpillar_spark.ops import quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the the"), (2, "Diverse words here now")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert rows[1]["repetition"] > rows[2]["repetition"]
+    for r in rows.values():
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
