@@ -43,12 +43,13 @@ def _make_spark(cpus: int):
     )
 
 
-def bench_build(spark, sf_dir: str):
+def bench_build(spark, sf_dir: str, cpus: int = 32):
     """Full index-build path, timed; returns (seconds, n_docs, index)."""
     from caterpillar_spark.framing import build_frames
     from caterpillar_spark.query import MemoryIndex
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf corpus is one parquet file = one input split; spread it
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
     n_docs = docs.count()
 
     t0 = time.perf_counter()
@@ -120,7 +121,7 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    build_s, n_docs, idx = bench_build(spark, sf_dir)
+    build_s, n_docs, idx = bench_build(spark, sf_dir, cpus)
     queries["index_build"] = round(build_s, 4)
     docs_per_sec = n_docs / build_s if build_s else 0.0
 

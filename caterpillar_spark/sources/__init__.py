@@ -6,6 +6,7 @@ from caterpillar_spark.sources.webtext import (
     WEBTEXT_SCHEMA,
     extract_text,
     ingest_webtext,
+    read_webtext,
     synthetic_webtext,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "extract_text",
     "ingest_webtext",
     "read_csv_with_schema",
+    "read_webtext",
     "synthetic_webtext",
 ]

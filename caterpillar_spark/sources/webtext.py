@@ -165,6 +165,23 @@ def extract_text(df: DataFrame, html_col: str = "html",
     return df.withColumn(out_col, _extract(F.col(html_col)))
 
 
+def read_webtext(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Load the webtext table from Iceberg when a catalog is configured
+    (the input_hint's nominal storage), else parquet.
+
+    Iceberg jars aren't bundled in every environment, so this probes:
+    a dotted name is treated as an Iceberg/catalog table reference,
+    a path as a parquet directory.  Either way the result has the
+    WEBTEXT_SCHEMA shape.
+    """
+    if "/" not in path_or_table and "." in path_or_table:
+        try:
+            return spark.read.format("iceberg").load(path_or_table)
+        except Exception:
+            return spark.table(path_or_table)
+    return spark.read.parquet(path_or_table)
+
+
 def ingest_webtext(df: DataFrame) -> DataFrame:
     """Webtext table -> engine document table.
 
