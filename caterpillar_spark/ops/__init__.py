@@ -27,6 +27,7 @@ from caterpillar_spark.ops.dedup import (
 )
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
+    embedding_lsh_candidates,
     embedding_near_dups,
     hyperplane_lsh_buckets,
     ann_topk,
@@ -44,6 +45,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    "embedding_lsh_candidates",
     "embedding_near_dups",
     "hyperplane_lsh_buckets",
     "ann_topk",

@@ -133,6 +133,47 @@ def hyperplane_lsh_buckets(
     return embeddings.withColumn("bucket", F.concat(*bits))
 
 
+def embedding_lsh_candidates(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Candidate pairs for near-dup search: vectors whose hyperplane-LSH
+    buckets differ by at most ``probe_hamming`` bits.
+
+    The scale path for :func:`embedding_near_dups`: side A explodes its
+    bucket's ≤1-bit-flip variants, the join is a plain equi-join on the
+    bucket string — shuffle bounded by bucket sizes, never the full
+    cross product.  Result: (id_a, id_b), id_a < id_b, distinct.
+    """
+    bucketed = hyperplane_lsh_buckets(
+        embeddings, num_planes, id_col, vec_col
+    ).select(id_col, "bucket")
+
+    variants = [F.col("bucket")]
+    if probe_hamming >= 1:
+        for i in range(num_planes):
+            pre = F.substring("bucket", 1, i)
+            bit = F.substring("bucket", i + 1, 1)
+            post = F.substring("bucket", i + 2, num_planes - i - 1)
+            variants.append(
+                F.concat(pre, F.when(bit == "1", "0").otherwise("1"), post)
+            )
+    probed = bucketed.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(F.array(*variants)).alias("bucket"),
+    )
+    other = bucketed.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        probed.join(other, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],

@@ -119,3 +119,28 @@ def test_quality_scores_ranges(spark):
     for r in rows.values():
         assert 0.0 <= r["alpha_ratio"] <= 1.0
         assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_embedding_lsh_candidates_find_near_dups(spark):
+    from caterpillar_spark.ops import embedding_lsh_candidates, embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # planted near-duplicates: tiny perturbations of vectors 0..4
+    for j in range(5):
+        rows.append((100 + j, [float(x + 0.001) for x in base[j]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cands = embedding_lsh_candidates(emb, num_planes=8, probe_hamming=1)
+    found = embedding_near_dups(emb, threshold=0.999, candidates=cands)
+    got = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    # every planted pair lands in the same bucket (identical signs)
+    assert {(j, 100 + j) for j in range(5)} <= got
+
+    # bucketed result is a subset of brute force at the same threshold
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, threshold=0.999).collect()
+    }
+    assert got <= brute
