@@ -173,3 +173,77 @@ def case_fold_terms(postings: DataFrame, ratio: float = 0.7) -> DataFrame:
             F.col("_top.ff").alias("dominant_ff"),
         )
     )
+
+
+def find_bi_gram_words(
+    frames: DataFrame, min_count: int = 5, threshold: float = 40.0
+) -> DataFrame:
+    """The reference's in-Python bigram discovery
+    (``find_bi_gram_words``, processing/index.py:1431-1493): re-analyse
+    stored frame text with the PotentialBiGramAnalyser, count bigram and
+    (non-stopped) unigram *occurrences*, and keep bigrams with
+    ``count >= min_count`` and Mikolov score
+    ``count * vocab_size / (f1 * f2) > threshold``.
+
+    Distributed restatement: one ``mapInPandas`` pass emits (kind, gram)
+    events, two partial-aggregated counts and a broadcast of the scalar
+    vocabulary size do the rest.  Sentence segmentation is rule-based
+    (punkt unavailable — framing.py deviation note), so exact counts can
+    differ from the reference's punkt-derived goldens; the returned
+    relation and scoring formula are identical.
+    """
+    import pandas as pd
+
+    from caterpillar_spark.analysis.analyser import PotentialBiGramAnalyser
+    from caterpillar_spark.analysis.sentence import split_sentences
+
+    def gen(batches):
+        analyser = PotentialBiGramAnalyser()
+        for pdf in batches:
+            kinds, grams = [], []
+            for text in pdf["frame_text"]:
+                if not text:
+                    continue
+                for sentence in split_sentences(text):
+                    for token_list in analyser.analyse(sentence):
+                        if len(token_list) > 1:
+                            kinds.append("b")
+                            grams.append(
+                                f"{token_list[0].value} {token_list[1].value}"
+                            )
+                        for t in token_list:
+                            if not t.stopped:
+                                kinds.append("u")
+                                grams.append(t.value)
+            yield pd.DataFrame({"kind": kinds, "gram": grams})
+
+    events = frames.select("frame_text").mapInPandas(
+        gen, "kind string, gram string"
+    )
+    counts = events.groupBy("kind", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    uni = counts.where(F.col("kind") == "u").select(
+        F.col("gram").alias("term"), F.col("cnt").alias("uf")
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("vocab"))
+    bi = (
+        counts.where((F.col("kind") == "b") & (F.col("cnt") >= min_count))
+        .select(
+            F.col("gram").alias("bigram"),
+            F.split(F.col("gram"), " ").getItem(0).alias("_t1"),
+            F.split(F.col("gram"), " ").getItem(1).alias("_t2"),
+            F.col("cnt"),
+        )
+    )
+    scored = (
+        bi.join(uni.withColumnRenamed("term", "_t1").withColumnRenamed("uf", "f1"), "_t1")
+        .join(uni.withColumnRenamed("term", "_t2").withColumnRenamed("uf", "f2"), "_t2")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            "cnt",
+            (F.col("cnt") * F.col("vocab") / (F.col("f1") * F.col("f2"))).alias("score"),
+        )
+    )
+    return scored.where(F.col("score") > threshold)

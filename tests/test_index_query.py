@@ -265,3 +265,44 @@ def test_build_index_and_resume(spark, tmp_path):
         (r["doc_id"], round(r["score"], 9)) for r in want
     ]
     frames.unpersist()
+
+
+@needs_ref
+def test_find_bi_gram_words_alice(spark):
+    """Reference golden (test_index.py:364-383), REFERENCE-EXACT: alice
+    @ frame_size=2, Default analyser → exactly 4 bigrams including
+    'golden key'; raising the threshold is monotonically restrictive."""
+    from caterpillar_spark.query.analytics import find_bi_gram_words
+
+    with open(os.path.join(REF_RESOURCES, "alice.txt")) as f:
+        text = f.read()
+    frames = build_frames(
+        spark.createDataFrame([Row(doc_id=1, text=text)]), frame_size=2
+    ).cache()
+
+    found = {r["bigram"] for r in find_bi_gram_words(frames).collect()}
+    assert "golden key" in found
+    assert len(found) == 4
+
+    old_n = 10**6
+    for threshold in (0.0, 20.0, 40.0, 60.0, 80.0):
+        n = find_bi_gram_words(frames, threshold=threshold).count()
+        assert n <= old_n
+        old_n = n
+    frames.unpersist()
+
+
+@needs_ref
+def test_find_bi_gram_words_moby(spark):
+    """Reference golden (test_index.py:386-397), REFERENCE-EXACT:
+    moby.txt discovers exactly 10 bigrams including 'ivory leg'."""
+    from caterpillar_spark.query.analytics import find_bi_gram_words
+
+    with open(os.path.join(REF_RESOURCES, "moby.txt")) as f:
+        text = f.read()
+    frames = build_frames(
+        spark.createDataFrame([Row(doc_id=1, text=text)]), frame_size=2
+    )
+    found = {r["bigram"] for r in find_bi_gram_words(frames).collect()}
+    assert "ivory leg" in found
+    assert len(found) == 10
