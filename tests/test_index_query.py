@@ -306,3 +306,17 @@ def test_find_bi_gram_words_moby(spark):
     found = {r["bigram"] for r in find_bi_gram_words(frames).collect()}
     assert "ivory leg" in found
     assert len(found) == 10
+
+
+@needs_ref
+def test_find_bi_gram_words_wikileaks(spark):
+    """Reference golden (test_index.py:405-411), REFERENCE-EXACT:
+    wikileaks-secret.txt discovers exactly 29 bigrams."""
+    from caterpillar_spark.query.analytics import find_bi_gram_words
+
+    with open(os.path.join(REF_RESOURCES, "wikileaks-secret.txt")) as f:
+        text = f.read()
+    frames = build_frames(
+        spark.createDataFrame([Row(doc_id=1, text=text)]), frame_size=2
+    )
+    assert find_bi_gram_words(frames).count() == 29
