@@ -72,9 +72,25 @@ def _is_abbreviation(word: str) -> bool:
     return False
 
 
+# Punkt realign_boundaries analog: a run of closing quotes/brackets at
+# the start of the next sentence is pulled back into the finished one
+# when followed by whitespace, an em-dash run, or end of text (NLTK's
+# PunktSentenceTokenizer._realign_boundaries regex).
+_REALIGN_RE = regex.compile(r"[\"'”’»)\]}]+(?=\s|--|$)", regex.UNICODE)
+
+
 def split_sentences(text: str) -> List[str]:
-    """Split a paragraph into sentences.  Whitespace between sentences is
-    consumed; internal whitespace is preserved verbatim."""
+    """Split a paragraph into sentences, punkt-compatibly:
+
+    * the first sentence keeps the paragraph's leading whitespace (punkt
+      slices start at offset 0);
+    * whitespace *between* sentences is consumed;
+    * internal whitespace is preserved verbatim (byte-identity of frame
+      text vs the reference's stored punkt output — see
+      tests/test_index_query.py::test_frame_text_byte_identity);
+    * closer runs after a boundary are realigned into the finished
+      sentence when followed by space/--/end (punkt realign_boundaries).
+    """
     if not text:
         return []
     boundaries: List[int] = []  # end offsets (exclusive) of sentences
@@ -96,12 +112,20 @@ def split_sentences(text: str) -> List[str]:
 
     sentences: List[str] = []
     start = 0
+    n = len(text)
     for end in boundaries:
-        seg = text[start:end].strip()
-        if seg:
+        if end < start:
+            continue  # boundary swallowed by a previous realign
+        m = _REALIGN_RE.match(text, end)
+        if m:
+            end = m.end()
+        seg = text[start:end]
+        if seg.strip():
             sentences.append(seg)
         start = end
-    tail = text[start:].strip()
-    if tail:
+        while start < n and text[start].isspace():
+            start += 1
+    tail = text[start:]
+    if tail.strip():
         sentences.append(tail)
     return sentences

@@ -320,3 +320,39 @@ def test_find_bi_gram_words_wikileaks(spark):
         spark.createDataFrame([Row(doc_id=1, text=text)]), frame_size=2
     )
     assert find_bi_gram_words(frames).count() == 29
+
+
+@needs_ref
+def test_frame_text_byte_identity_vs_stored_reference_index(spark):
+    """input_hint per-row invariant against the reference's OWN stored
+    output: the v0.10.0 fixture index carries the punkt-derived frame
+    text for alice.txt.  >=99% of frames must be byte-identical after
+    sequence alignment (the remainder are six documented punkt-specific
+    boundary decisions; see analysis/sentence.py DEVIATION note)."""
+    import difflib
+    import json
+    import sqlite3
+
+    con = sqlite3.connect(
+        "file:" + os.path.join(REF_RESOURCES, "alice_indexed_v0_10_0/storage.db")
+        + "?mode=ro",
+        uri=True,
+    )
+    ref = [
+        json.loads(r[0])["_text"]
+        for r in con.execute("SELECT stored FROM frame ORDER BY id")
+    ]
+    with open(os.path.join(REF_RESOURCES, "alice.txt")) as f:
+        text = f.read()
+    frames = build_frames(
+        spark.createDataFrame([Row(doc_id=1, text=text)]), frame_size=2
+    )
+    ours = [r["frame_text"] for r in frames.orderBy("frame_seq").collect()]
+
+    sm = difflib.SequenceMatcher(a=ref, b=ours, autojunk=False)
+    identical = sum(
+        i2 - i1 for tag, i1, i2, _, _ in sm.get_opcodes() if tag == "equal"
+    )
+    assert len(ref) == 1153
+    assert identical >= 1140
+    assert identical / len(ref) >= 0.99
