@@ -356,3 +356,58 @@ def test_frame_text_byte_identity_vs_stored_reference_index(spark):
     assert len(ref) == 1153
     assert identical >= 1140
     assert identical / len(ref) >= 0.99
+
+
+@needs_ref
+def test_term_vectors_identical_vs_stored_reference_postings(spark):
+    """Deepest parity check: for text-aligned frames, our per-frame
+    term->frequency vectors must equal the reference's STORED postings
+    (term_posting ⋈ vocabulary in the v0.10.0 fixture).  1140/1142
+    aligned frames are exactly identical; the two exceptions are
+    chapter-heading compound-name edge cases ('CHAPTER I. Down ...')."""
+    import difflib
+    import json
+    import sqlite3
+
+    con = sqlite3.connect(
+        "file:" + os.path.join(REF_RESOURCES, "alice_indexed_v0_10_0/storage.db")
+        + "?mode=ro",
+        uri=True,
+    )
+    ref_frames = [
+        (r[0], json.loads(r[1])["_text"])
+        for r in con.execute("SELECT id, stored FROM frame ORDER BY id")
+    ]
+    vocab = dict(con.execute("SELECT id, term FROM vocabulary"))
+    ref_post = {}
+    for tid, fid, freq, _ in con.execute("SELECT * FROM term_posting"):
+        ref_post.setdefault(fid, {})[vocab[tid]] = freq
+
+    with open(os.path.join(REF_RESOURCES, "alice.txt")) as f:
+        text = f.read()
+    rows = (
+        build_frames(
+            spark.createDataFrame([Row(doc_id=1, text=text)]), frame_size=2
+        )
+        .orderBy("frame_seq")
+        .collect()
+    )
+    ours = [
+        (r["frame_text"], {t["term"]: t["freq"] for t in r["terms"]})
+        for r in rows
+    ]
+
+    sm = difflib.SequenceMatcher(
+        a=[t for _, t in ref_frames], b=[t for t, _ in ours], autojunk=False
+    )
+    tot = same = 0
+    for tag, i1, i2, j1, j2 in sm.get_opcodes():
+        if tag != "equal":
+            continue
+        for off in range(i2 - i1):
+            fid = ref_frames[i1 + off][0]
+            tot += 1
+            if ref_post.get(fid, {}) == ours[j1 + off][1]:
+                same += 1
+    assert tot >= 1140
+    assert same >= tot - 2
