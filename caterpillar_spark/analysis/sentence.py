@@ -63,9 +63,11 @@ def _is_abbreviation(word: str) -> bool:
         return False
     if w in ABBREVIATIONS:
         return True
-    # Single-letter initial: "J." in "J. Smith"
+    # Single-letter initial: "J." in "J. Smith" — but uppercase Roman
+    # numerals ("CHAPTER I.", "X.") end a heading sentence (punkt
+    # splits there; verified against the stored reference index).
     if len(w) == 1 and w.isalpha():
-        return True
+        return word.rstrip(".").lstrip("(\"'“‘«[") not in ("I", "V", "X")
     # Multi-dot initialisms: "u.s.a", "ph.d"
     if "." in w and all(len(p) <= 2 for p in w.split(".") if p):
         return True
