@@ -136,20 +136,27 @@ def wand_topk(
     terms: Sequence[str],
     k: int = 10,
     mode: str = "or",
+    must_not: Sequence[str] = (),
     k1: float = BM25_K1,
     b: float = BM25_B,
     num_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Exact BM25 top-k (score desc, doc_id asc) with block-max WAND
     pruning.  ``mode='and'`` additionally requires every term present
-    in the document (block-level + doc-level intersection)."""
+    in the document (block-level + doc-level intersection);
+    ``must_not`` terms exclude documents (the exclusion lists are
+    block-aligned with the scored lists, so masking is block-local —
+    no extra shuffle)."""
     terms = sorted(set(terms))
+    neg_terms = sorted(set(must_not) - set(terms))
     spark = index.lists.sparkSession
-    pruned = _prune_terms(index, terms)
+    pruned = _prune_terms(index, [*terms, *neg_terms])
 
     stats = {
         r["term"]: int(r["doc_freq"])
-        for r in posting_list_stats(pruned).collect()
+        for r in posting_list_stats(
+            pruned.where(F.col("term").isin(list(terms)))
+        ).collect()
     }
     n = float(index.n_docs)
     idf = {
@@ -174,10 +181,16 @@ def wand_topk(
 
     from caterpillar_spark.indexing.codec import decode_doc_gaps, decode_varints
 
+    neg = set(neg_terms)
+
     def score_partition(it: Iterator) -> Iterator[tuple]:
         groups: dict = {}
+        neg_groups: dict = {}
         for r in it:
-            groups.setdefault(r["block"], []).append(r)
+            if r["term"] in neg:
+                neg_groups.setdefault(r["block"], []).append(r)
+            else:
+                groups.setdefault(r["block"], []).append(r)
         if not groups:
             return
         scored: List[tuple] = []
@@ -193,6 +206,13 @@ def wand_topk(
                 continue  # a required term has no postings in this range
             if len(heap) == k and bound < heap[0]:
                 continue  # block-max skip: cannot beat current top-k
+            excluded = None
+            if block in neg_groups:
+                excl_parts = [
+                    decode_doc_gaps(r["first_doc"], r["doc_gaps"], r["n_docs"])
+                    for r in neg_groups[block]
+                ]
+                excluded = np.concatenate(excl_parts)
             doc_parts, score_parts = [], []
             for r in rs:
                 nd = r["n_docs"]
@@ -210,6 +230,9 @@ def wand_topk(
             if conjunctive:
                 counts = np.bincount(inv)
                 keep = counts == n_terms_required
+                uniq, sums = uniq[keep], sums[keep]
+            if excluded is not None and uniq.size:
+                keep = ~np.isin(uniq, excluded)
                 uniq, sums = uniq[keep], sums[keep]
             for d, s in zip(uniq, sums):
                 results.append((float(s), int(d)))

@@ -183,3 +183,23 @@ def test_persist_and_load_roundtrip(spark, corpus, cindex, tmp_path):
     # partition-pruned layout exists
     import os
     assert any(d.startswith("term_bucket=") for d in os.listdir(path))
+
+
+def test_wand_must_not(corpus, cindex):
+    from caterpillar_spark.query.wand import wand_topk
+    from caterpillar_spark.indexing.postinglists import doc_level_postings
+
+    got = [(r["doc_id"], r["score"]) for r in
+           wand_topk(cindex, ["the"], k=20, must_not=["spark"]).collect()]
+    # brute force with exclusion
+    excluded = {
+        r["doc_id"]
+        for r in doc_level_postings(corpus).where(F.col("term") == "spark")
+        .select("doc_id").collect()
+    }
+    exp = [(d, s) for d, s in _brute_force_bm25(corpus, cindex, ["the"], k=10**9)
+           if d not in excluded][:20]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert [s for _, s in got] == pytest.approx([s for _, s in exp])
+    # every excluded doc is absent
+    assert not ({d for d, _ in got} & excluded)
