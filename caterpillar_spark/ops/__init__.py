@@ -1,3 +1,10 @@
+from caterpillar_spark.ops.multimodal import (
+    decode_media,
+    encode_fake_media,
+    media_features,
+    resize_metadata,
+    sample_video_frames,
+)
 """Web-scale corpus operations beyond the reference engine.
 
 These are the training-data-pipeline operators a 100 TB corpus job
@@ -50,3 +57,4 @@ __all__ = [
     "hyperplane_lsh_buckets",
     "ann_topk",
 ]
+__all__ += ["decode_media", "encode_fake_media", "media_features", "resize_metadata", "sample_video_frames"]
