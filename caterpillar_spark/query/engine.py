@@ -173,12 +173,31 @@ def _resolve_weights(
     )
     ff = {r["term"]: r["ff"] for r in rows}
 
-    fstats = _field_scope(index.field_stats(), include_fields, exclude_fields)
-    agg = fstats.agg(
-        F.sum("frame_count").alias("n"), F.sum("token_count").alias("tok")
-    ).collect()[0]
-    n_frames = float(agg["n"] or 0)
-    avgdl = (agg["tok"] / agg["n"]) if agg["n"] else 1.0
+    # Corpus constants are per-(index, field-scope) invariants — memoize
+    # on the index handle so repeated queries run one collect, not two.
+    # (Handles are cheap and immutable-by-convention: take a fresh
+    # InvertedIndex after incremental appends change the statistics.)
+    scope_key = (
+        tuple(include_fields) if include_fields else None,
+        tuple(exclude_fields) if exclude_fields else None,
+    )
+    cache = getattr(index, "_consts_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(index, "_consts_cache", cache)
+        except (AttributeError, TypeError):
+            pass
+    if scope_key in cache:
+        n_frames, avgdl = cache[scope_key]
+    else:
+        fstats = _field_scope(index.field_stats(), include_fields, exclude_fields)
+        agg = fstats.agg(
+            F.sum("frame_count").alias("n"), F.sum("token_count").alias("tok")
+        ).collect()[0]
+        n_frames = float(agg["n"] or 0)
+        avgdl = (agg["tok"] / agg["n"]) if agg["n"] else 1.0
+        cache[scope_key] = (n_frames, avgdl)
 
     weights: Dict[str, float] = {}
     for t in term_values:
