@@ -314,6 +314,83 @@ def build_index(
     return InvertedIndex(spark, path)
 
 
+def optimize_index(index: InvertedIndex) -> InvertedIndex:
+    """Compact the index: rewrite each layout with one sorted file per
+    term bucket (incremental appends and many-slice builds leave many
+    small files; compaction restores the one-sorted-run-per-bucket
+    layout that row-group pruning wants).  Also folds any partial
+    statistics rows (streaming appends) into one row per key.  Staged
+    rewrite + atomic swap, revision bumped."""
+    import shutil
+
+    spark = index.spark
+    manifest = index.manifest
+
+    plans = {
+        "postings": (index.postings(), ["term", "doc_id", "frame_seq"]),
+        "lists": (index.lists(), ["term", "block"]),
+    }
+    staging = {}
+    for name, (df, sort_cols) in plans.items():
+        tmp = os.path.join(index.path, f"_{name}.compact")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            df.repartition("term_bucket")
+            .sortWithinPartitions(*sort_cols)
+            .write.partitionBy("term_bucket").mode("overwrite")
+            .parquet(tmp)
+        )
+        staging[name] = tmp
+
+    ts_tmp = os.path.join(index.path, "_term_stats.compact")
+    shutil.rmtree(ts_tmp, ignore_errors=True)
+    (
+        index.term_stats()
+        .groupBy("term", "field", "term_bucket")
+        .agg(
+            F.sum("total_occurrences").alias("total_occurrences"),
+            F.sum("frames_occuring").alias("frames_occuring"),
+            F.sum("docs_occuring").alias("docs_occuring"),
+        )
+        .repartition("term_bucket")
+        .sortWithinPartitions("term")
+        .write.partitionBy("term_bucket").mode("overwrite")
+        .parquet(ts_tmp)
+    )
+    staging["term_stats"] = ts_tmp
+
+    fs_tmp = os.path.join(index.path, "_field_stats.compact")
+    shutil.rmtree(fs_tmp, ignore_errors=True)
+    (
+        index.field_stats()
+        .groupBy("field")
+        .agg(
+            F.sum("frame_count").alias("frame_count"),
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("token_count").alias("token_count"),
+            (F.sum("token_count") / F.sum("frame_count")).alias(
+                "avg_frame_tokens"
+            ),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(fs_tmp)
+    )
+    staging["field_stats"] = fs_tmp
+
+    for name, tmp in staging.items():
+        final = os.path.join(index.path, name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+
+    manifest["revision"] = manifest.get("revision", 0) + 1
+    manifest.setdefault("metrics", {})["last_optimize_revision"] = manifest[
+        "revision"
+    ]
+    _save_manifest(index.path, manifest)
+    return InvertedIndex(spark, index.path)
+
+
 def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     """Remove documents from a persisted index and bump its revision.
 
