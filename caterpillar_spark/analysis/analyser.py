@@ -55,15 +55,55 @@ class Analyser:
 # One shared tokenizer instance per class — tokenizers are stateless.
 _SIMPLE_TOKENIZER = SimpleWordTokenizer(detect_compound_names=True)
 
+# Fused fast-path regexes for the standard word stack (same compiled
+# patterns the individual stages use).
+_FUSED_OUTER_RE = OuterPunctuationFilter(leading_allow=["@", "#"])._re
+_FUSED_POSS_RE = PossessiveContractionFilter()._re
 
-class DefaultAnalyser(Analyser):
+
+class _FusedWordAnalyser(Analyser):
+    """Single-pass implementation of the standard stack
+    ``SimpleWordTokenizer -> OuterPunctuationFilter(@#) ->
+    PossessiveContractionFilter -> StopFilter ->
+    PositionalLowercaseWordFilter(0)``.
+
+    The generic generator chain costs 4 nested function calls per
+    token; this inlines them (~3x faster framing, the index build's
+    hottest loop).  Output equivalence with the generic chain is
+    asserted by a differential test (tests/test_analysis.py) and by the
+    stored-reference-index parity tests."""
+
+    _stopset: frozenset
+    _minsize: int
+
+    def analyse(self, value: str) -> Iterator[Token]:
+        stopset = self._stopset
+        minsize = self._minsize
+        outer = _FUSED_OUTER_RE.search
+        poss = _FUSED_POSS_RE.sub
+        for pos, m in enumerate(_SIMPLE_TOKENIZER._re.finditer(value)):
+            m2 = outer(m.group(0))
+            if m2 is None:
+                continue  # all-punctuation token: dropped from stream
+            v = poss("", m2.group(0))
+            stopped = len(v) < minsize or v.lower() in stopset
+            if pos == 0 and " " not in v and v.istitle():
+                v = v.lower()
+            yield Token(v, position=pos, stopped=stopped, index=m.span())
+
+
+class DefaultAnalyser(_FusedWordAnalyser):
     """The standard indexing analyser: simple word split + compound names,
     outer-punctuation strip (keeping leading @/#), possessive strip,
-    stop marking, sentence-initial de-capitalization."""
+    stop marking, sentence-initial de-capitalization.  Executes via the
+    fused single-pass fast path; ``get_filters`` still exposes the
+    equivalent chain."""
 
     def __init__(self, stopword_list=[], min_word_size: int = 1):  # noqa: B006
         if stopword_list is None:
             stopword_list = stopwords.ENGLISH
+        self._stopset = frozenset(s.lower() for s in stopword_list)
+        self._minsize = min_word_size
         self._filters: List[Filter] = [
             OuterPunctuationFilter(leading_allow=["@", "#"]),
             PossessiveContractionFilter(),
@@ -78,7 +118,7 @@ class DefaultAnalyser(Analyser):
         return self._filters
 
 
-class TestAnalyser(Analyser):
+class TestAnalyser(_FusedWordAnalyser):
     """Fixture analyser used by the reference test-suite goldens."""
 
     __test__ = False  # not a pytest class
@@ -86,6 +126,8 @@ class TestAnalyser(Analyser):
     def __init__(self, stopword_list=None):
         if stopword_list is None:
             stopword_list = stopwords.ENGLISH_TEST
+        self._stopset = frozenset(s.lower() for s in stopword_list)
+        self._minsize = stopwords.MIN_WORD_SIZE
         self._filters: List[Filter] = [
             OuterPunctuationFilter(leading_allow=["@", "#"]),
             PossessiveContractionFilter(),

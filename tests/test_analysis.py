@@ -244,3 +244,46 @@ def test_analyse_text_paragraphs_reset_nothing_share_frames():
     frames = analyse_text(text, TestAnalyser(), frame_size=2)
     # Paragraph boundary forces a new frame even though frame_size=2.
     assert len(frames) == 2
+
+
+def test_fused_analyser_equals_generic_chain():
+    """The fused single-pass DefaultAnalyser/TestAnalyser must produce
+    exactly the generic tokenizer+filter chain's output on real text."""
+    from caterpillar_spark.analysis.analyser import (
+        Analyser,
+        DefaultAnalyser,
+        TestAnalyser,
+        _SIMPLE_TOKENIZER,
+    )
+
+    class GenericShim(Analyser):
+        def __init__(self, fused):
+            self._fused = fused
+
+        def get_tokenizer(self):
+            return _SIMPLE_TOKENIZER
+
+        def get_filters(self):
+            return self._fused.get_filters()
+
+    samples = [
+        "The Quick brown fox's jumped, over!! 'the' lazy--dog...",
+        "  @user and #tag  (parens) [brackets] ___ ... !!",
+        "Mock Turtle said to Alice's friend: don't.",
+        "a I x 'W. RABBIT' engraved 1865 3.14 e.g. Mr. Smith",
+        "",
+        "word",
+    ]
+    with open("/root/reference/caterpillar/test_resources/alice_test_data.txt") as f:
+        samples += f.read().split("\n\n")[:30]
+
+    for make in (DefaultAnalyser, TestAnalyser):
+        fused = make()
+        generic = GenericShim(fused)
+        for s in samples:
+            got = [(t.value, t.position, t.stopped) for t in fused.analyse(s)]
+            want = [
+                (t.value, t.position, t.stopped)
+                for t in Analyser.analyse(generic, s)
+            ]
+            assert got == want, (make.__name__, s[:60])
