@@ -89,6 +89,10 @@ def main() -> int:
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--python-only", action="store_true",
                     help="run via python instead of spark-submit")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="runs per level; best observed throughput is "
+                         "reported (isolates systematic cost from "
+                         "single-box run-to-run noise)")
     args = ap.parse_args()
 
     input_path = f"/tmp/scaling_webtext_{args.n_docs}"
@@ -108,8 +112,16 @@ def main() -> int:
             raise SystemExit("corpus generation failed")
 
     use_submit = not args.python_only
-    low = run_level(args.low, input_path, use_submit)
-    high = run_level(args.high, input_path, use_submit)
+
+    def best_of(cores: int) -> dict:
+        runs = [run_level(cores, input_path, use_submit)
+                for _ in range(max(1, args.trials))]
+        best = max(runs, key=lambda r: r["docs_per_sec"])
+        best["all_trials_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
+        return best
+
+    low = best_of(args.low)
+    high = best_of(args.high)
 
     ratio = args.high / args.low
     eff = high["docs_per_sec"] / (ratio * low["docs_per_sec"])
