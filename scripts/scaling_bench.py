@@ -84,7 +84,7 @@ def main() -> int:
     # BASELINE.md) shows per-core throughput at 32-way load is only 67%
     # of 16-way (turbo scaling), capping ANY 8->32 job at ~0.61
     # efficiency — a hardware artifact, not an orchestration property.
-    ap.add_argument("--n-docs", type=int, default=480000)
+    ap.add_argument("--n-docs", type=int, default=960000)
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--python-only", action="store_true",
