@@ -189,7 +189,10 @@ def q_metadata_inversion(spark, sf_dir):
     from caterpillar_spark.query.vectors import metadata_inversion
 
     idx = _index_cached(sf_dir)
-    return metadata_inversion(idx.frames, ["lang"], unit="document")
+    inv = metadata_inversion(idx.frames, ["lang"], unit="document")
+    # One scalar row per id-list member so the driver's canonicalizer
+    # (pandas sort over all columns) can hash the result.
+    return inv.select("field", "value", "n", F.explode("ids").alias("id"))
 
 
 def q_filter_range(spark, sf_dir):
@@ -295,11 +298,20 @@ def q_simhash(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    from caterpillar_spark.ops import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), shingle_n=2, threshold=0.2
+    """Scale path: MinHash-LSH candidates bound the pair space, then
+    each candidate is verified with an exact shingle-set intersection
+    (linear in |candidates|; the brute-force all-pairs variant is the
+    pytest recall cross-check, tests/test_ops_misc.py)."""
+    from caterpillar_spark.ops import (
+        lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
     )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=2)
+    cands = lsh_candidates(sigs, num_hashes=16, bands=4)
+    return ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.2, candidates=cands)
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -311,9 +323,14 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    from caterpillar_spark.ops import embedding_near_dups
+    """Scale path: hyperplane-LSH bucket candidates (<=1-bit probe)
+    verified per pair by equi-join — never the all-pairs cross product
+    (brute force stays as the pytest recall cross-check)."""
+    from caterpillar_spark.ops import embedding_lsh_candidates, embedding_near_dups
 
-    return embedding_near_dups(_embeddings(spark, sf_dir), threshold=0.3)
+    emb = _embeddings(spark, sf_dir)
+    cands = embedding_lsh_candidates(emb, num_planes=8, probe_hamming=1)
+    return embedding_near_dups(emb, threshold=0.3, candidates=cands)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -572,10 +589,9 @@ SELECT term, tot AS total_freq,
 FROM stats
 """,
         "metadata_inversion": """
-SELECT 'lang' AS field, lang AS value,
-       count(*)::BIGINT AS n,
-       list_sort(list(doc_id)) AS ids
-FROM documents GROUP BY lang
+WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang)
+SELECT 'lang' AS field, d.lang AS value, g.n AS n, d.doc_id AS id
+FROM documents d JOIN g ON d.lang = g.lang
 """,
         "filter_range": """
 SELECT doc_id, lang, n_chars FROM documents
@@ -718,30 +734,24 @@ SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
 """,
-        "ngram_jaccard": """
-WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
-sh AS (
-    SELECT doc_id, unnest(
-        CASE WHEN len(ts) >= 2 THEN
-            list_distinct(list_transform(range(1, len(ts)),
-                          i -> ts[i] || ' ' || ts[i+1]))
-        ELSE [array_to_string(ts, ' ')] END
-    ) AS shingle
+        "ngram_jaccard": f"""
+WITH {_minhash_cands_ctes(2)},
+sets AS (
+    SELECT doc_id, {_shingle_array_expr(2)} AS s
     FROM t
-),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
 )
-SELECT i.id_a, i.id_b, i.inter,
-       (sa.n_sh + sb.n_sh - i.inter)::BIGINT AS "union",
-       round(i.inter / (sa.n_sh + sb.n_sh - i.inter)::DOUBLE, 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON i.id_a = sa.doc_id
-JOIN sizes sb ON i.id_b = sb.doc_id
-WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter)::DOUBLE >= 0.2
+SELECT c.id_a, c.id_b,
+       len(list_intersect(a.s, b.s))::BIGINT AS inter,
+       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::BIGINT AS "union",
+       round(len(list_intersect(a.s, b.s))
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
+             6) AS jaccard
+FROM cand c
+JOIN sets a ON a.doc_id = c.id_a
+JOIN sets b ON b.doc_id = c.id_b
+WHERE round(len(list_intersect(a.s, b.s))
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
+            6) >= 0.2
 """,
         "cosine_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -756,50 +766,91 @@ FROM embeddings e CROSS JOIN q
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {K}
 """,
-        "embedding_near_dups": """
-WITH n AS (
+        "embedding_near_dups": f"""
+WITH {_hyperplane_bucket_ctes(8)},
+cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b ON a.vec_id < b.vec_id
+    WHERE len(list_filter(range(1, 9),
+              i -> substr(a.bucket, i, 1) <> substr(b.bucket, i, 1))) <= 1
+),
+n AS (
     SELECT vec_id, embedding,
            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
     FROM embeddings
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+SELECT c.id_a, c.id_b,
        round(
          list_sum(list_transform(range(1, len(a.embedding) + 1),
                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
          / (a.nrm * b.nrm), 6) AS cosine
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
-               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-      / (a.nrm * b.nrm) >= 0.3
+FROM cand c
+JOIN n a ON a.vec_id = c.id_a
+JOIN n b ON b.vec_id = c.id_b
+WHERE round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (a.nrm * b.nrm), 6) >= 0.3
 """,
-        # ann_topk intentionally has no oracle (approximate, LSH-bucketed):
-        # the driver records the weaker rows-only check for it.
+        # The engine's hyperplanes are md5-derived, so the ANN oracle
+        # reproduces the exact same sign bits, <=1-bit multi-probe
+        # candidate set, cosine and (desc, id asc) top-k in SQL.
+        "ann_topk": f"""
+WITH {_hyperplane_bucket_ctes(8)},
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+    SELECT b.vec_id
+    FROM buckets b, qb
+    WHERE len(list_filter(range(1, 9),
+              i -> substr(b.bucket, i, 1) <> substr(qb.bucket, i, 1))) <= 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         6) AS cosine
+FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+""",
     }
 
 
-def _minhash_oracle() -> str:
-    """16 MinHash sigs over 3-shingles, banded 4x4 — same md5-derived
-    hash family as the engine."""
+def _shingle_array_expr(n: int) -> str:
+    """Distinct word n-shingle array over ``ts`` (mirrors
+    caterpillar_spark.ops.dedup.shingles_col: short docs yield one
+    whole-document shingle)."""
+    concat = " || ' ' || ".join(f"ts[i+{j}]" if j else "ts[i]" for j in range(n))
+    return (
+        f"CASE WHEN len(ts) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(ts) - {n} + 2), i -> {concat})) "
+        f"ELSE [array_to_string(ts, ' ')] END"
+    )
+
+
+def _minhash_cands_ctes(shingle_n: int, num_hashes: int = 16, bands: int = 4) -> str:
+    """CTE chain ``t, sh, sigs, bands, cand`` — MinHash signatures over
+    word n-shingles banded ``bands`` x ``rows``, the same md5-derived
+    hash family as the engine (ops/dedup.py), so ``cand`` is the exact
+    LSH candidate set."""
+    rows_per_band = num_hashes // bands
     sig_exprs = ",\n           ".join(
         f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS sig_{i}"
-        for i in range(16)
+        for i in range(num_hashes)
     )
     band_exprs = []
-    for b in range(4):
+    for b in range(bands):
         parts = " || ',' || ".join(
-            f"sig_{b * 4 + r}::VARCHAR" for r in range(4)
+            f"sig_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
         )
         band_exprs.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
     bands_union = "\nUNION ALL\n".join(band_exprs)
-    return f"""
-WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+    return f"""t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
 sh AS (
-    SELECT doc_id, unnest(
-        CASE WHEN len(ts) >= 3 THEN
-            list_distinct(list_transform(range(1, len(ts) - 1),
-                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
-        ELSE [array_to_string(ts, ' ')] END
-    ) AS shingle
+    SELECT doc_id, unnest({_shingle_array_expr(shingle_n)}) AS shingle
     FROM t
 ),
 sigs AS (
@@ -809,8 +860,45 @@ sigs AS (
 ),
 bands AS (
 {bands_union}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-"""
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_oracle() -> str:
+    """16 MinHash sigs over 3-shingles, banded 4x4 — same md5-derived
+    hash family as the engine."""
+    return f"WITH {_minhash_cands_ctes(3)}\nSELECT id_a, id_b FROM cand"
+
+
+def _hyperplane_bucket_ctes(num_planes: int = 8) -> str:
+    """CTE chain ``dim, planes, vd, dots, buckets`` — per-vector
+    hyperplane-LSH sign-bit bucket strings with the engine's exact
+    md5-derived +-1 plane weights (ops/similarity.py:
+    hyperplane_weights)."""
+    return f"""dim AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+planes AS (
+    SELECT pp.p AS p, dd.d AS d,
+           CASE WHEN ('0x' || substr(md5('plane:' || pp.p::VARCHAR || ':' || dd.d::VARCHAR), 1, 2))::INT & 1 = 1
+                THEN 1.0 ELSE -1.0 END AS w
+    FROM (SELECT unnest(range({num_planes})) AS p) pp
+    CROSS JOIN (SELECT unnest(range((SELECT dim FROM dim))) AS d) dd
+),
+vd AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) - 1 AS d
+    FROM embeddings
+),
+dots AS (
+    SELECT vd.vec_id, pl.p, sum(vd.x * pl.w) AS s
+    FROM vd JOIN planes pl ON vd.d = pl.d
+    GROUP BY vd.vec_id, pl.p
+),
+buckets AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    FROM dots GROUP BY vec_id
+)"""

@@ -229,11 +229,36 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for near-duplicate pairs.
 
-    Without ``candidates`` every shingle-sharing pair is scored (fine at
-    test scale); at corpus scale pass :func:`lsh_candidates` output to
-    bound the pair space.  Result: (id_a, id_b, inter, union, jaccard).
+    With ``candidates`` (the scale path — feed it
+    :func:`lsh_candidates` output) each candidate pair is verified
+    directly: two equi-joins bring in the per-document shingle arrays
+    and the intersection is a JVM ``array_intersect`` — cost linear in
+    |candidates|, no shingle self-join at all.  Without candidates
+    every shingle-sharing pair is scored through a shingle-key
+    self-join — exact, but pair-quadratic per hot shingle; test scale
+    only.  Result: (id_a, id_b, inter, union, jaccard).
     """
     sh = shingles_col(text_col, shingle_n)
+    if candidates is not None:
+        sets = docs.select(F.col(id_col), sh.alias("sh"))
+        a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        inter_c = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        union_c = (
+            F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter_c
+        )
+        return (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                inter_c.alias("inter"),
+                union_c.alias("union"),
+                F.round(inter_c / union_c, 6).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
     exploded = docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
@@ -249,8 +274,6 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")

@@ -69,8 +69,11 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
 
-    Brute-force cross pairing at test scale; pass LSH bucket candidates
-    (id_a, id_b) to bound the pair space at corpus scale.
+    With ``candidates`` (the scale path — feed it
+    :func:`embedding_lsh_candidates` output) each candidate pair is
+    verified by two equi-joins on the id columns: cost is linear in
+    |candidates|, never a cross product.  Without candidates this is
+    the brute-force all-pairs baseline — test scale only.
     """
     v = F.col(vec_col).cast("array<double>")
     norm = embeddings.select(
@@ -78,16 +81,28 @@ def embedding_near_dups(
         v.alias("v"),
         _norm(v).alias("n"),
     )
+    if candidates is not None:
+        a = norm.select(
+            F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+        )
+        b = norm.select(
+            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
+        return (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
     a = norm.alias("a")
     b = norm.alias("b")
     pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    if candidates is not None:
-        pairs = pairs.join(
-            candidates,
-            (F.col(f"a.{id_col}") == F.col("id_a"))
-            & (F.col(f"b.{id_col}") == F.col("id_b")),
-            "left_semi",
-        )
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
