@@ -96,6 +96,25 @@ class InvertedIndex:
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
 
+    def docs(self) -> DataFrame:
+        """Per-document ledger (doc_id, dl) — doc_id-sorted parquet, the
+        membership/length table incremental appends guard against."""
+        return self.spark.read.parquet(os.path.join(self.path, "docs"))
+
+    def stored_documents(self) -> DataFrame:
+        """The source document table this index was built from (the
+        reference's stored-fields iteration, storage/sqlite.py:771-812).
+        The Spark restatement leaves documents in the source parquet and
+        records its path in the manifest; joining hits back to content
+        is a doc_id equi-join against this relation."""
+        src = self.manifest.get("source")
+        if not src:
+            raise ValueError(
+                f"index at {self.path} was built without source=; "
+                "no stored-document pointer recorded"
+            )
+        return self.spark.read.parquet(src)
+
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
 
@@ -140,6 +159,23 @@ def _save_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(path))
 
 
+def _swap_dir(final: str, tmp: str) -> None:
+    """Replace directory ``final`` with ``tmp`` leaving no window where
+    the table is absent: the live dir is first renamed aside, then the
+    staged dir takes its name, then the old data is deleted.  A crash
+    at any point leaves either the old or the new table under ``final``
+    (plus at worst a stale ``.old``/staging dir to garbage-collect),
+    never a missing table."""
+    import shutil
+
+    old = final + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def build_index(
     frames: DataFrame,
     path: str,
@@ -147,6 +183,7 @@ def build_index(
     checkpoint_groups: int = 1,
     resume: bool = True,
     block_bits: int = 4,
+    source: Optional[str] = None,
 ) -> InvertedIndex:
     """Build (or resume building) the inverted index at ``path``.
 
@@ -158,11 +195,22 @@ def build_index(
     (delta-gap+varint blocks with block-max metadata, postinglists.py)
     via *dynamic partition overwrite*, so re-running a slice after a
     crash is idempotent — a half-written slice is simply overwritten.
+
+    ``block_bits`` sizes the doc-range block space of the compressed
+    lists (2^block_bits blocks).  The default 4 suits sandbox-scale
+    corpora (<=~10^5 docs); at web scale use >= 10 so hot terms shard
+    over enough blocks for WAND pruning and skew-free encode — see
+    postinglists.py block sizing notes and BASELINE.md measurements.
+
+    ``source`` (optional) records the source document table's path in
+    the manifest as the stored-document pointer
+    (:meth:`InvertedIndex.stored_documents`).
     """
     from caterpillar_spark.indexing.postinglists import build_posting_lists
 
     spark = frames.sparkSession
-    manifest = (_load_manifest(path) if resume else None) or {
+    loaded = _load_manifest(path) if resume else None
+    manifest = loaded or {
         "revision": 0,
         "num_buckets": num_buckets,
         "block_bits": block_bits,
@@ -177,6 +225,14 @@ def build_index(
             f"index at {path} was built with num_buckets="
             f"{manifest['num_buckets']}, got {num_buckets}"
         )
+    if loaded is not None:
+        # Resume must slice the bucket space exactly as the prior run
+        # did: completed_slices keys index into the *prior* bounds, so a
+        # different checkpoint_groups argument would silently skip
+        # bucket ranges.  The manifest value wins.
+        checkpoint_groups = manifest.get("checkpoint_groups", checkpoint_groups)
+    if source is not None:
+        manifest["source"] = source
 
     # The build reads the frames relation several times (corpus
     # constants, doc lengths, both posting layouts per slice, field
@@ -268,6 +324,19 @@ def build_index(
             os.path.join(path, "field_stats")
         )
 
+    def write_docs():
+        # Per-document ledger, range-sorted by doc_id so membership
+        # probes (incremental-append dup guard, stored-doc joins) prune
+        # on parquet min/max stats.
+        (
+            doc_lens.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
+            )
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "docs"))
+        )
+
     # All outputs derive from the same persisted frames and land in
     # different directories, so they run as concurrent Spark jobs — one
     # job's task tail fills another's scheduler gap.  Checkpoint
@@ -292,7 +361,8 @@ def build_index(
         stats_futs = []
         if not manifest.get("stats_done"):
             stats_futs = [pool.submit(write_term_stats),
-                          pool.submit(write_field_stats)]
+                          pool.submit(write_field_stats),
+                          pool.submit(write_docs)]
         for key, lo, hi, futs in slice_futs:
             for f in futs:
                 f.result()
@@ -320,7 +390,9 @@ def optimize_index(index: InvertedIndex) -> InvertedIndex:
     small files; compaction restores the one-sorted-run-per-bucket
     layout that row-group pruning wants).  Also folds any partial
     statistics rows (streaming appends) into one row per key.  Staged
-    rewrite + atomic swap, revision bumped."""
+    rewrite + gap-free rename swap (:func:`_swap_dir` — per-table
+    rename pairs, not one atomic multi-table commit), revision
+    bumped."""
     import shutil
 
     spark = index.spark
@@ -378,10 +450,22 @@ def optimize_index(index: InvertedIndex) -> InvertedIndex:
     )
     staging["field_stats"] = fs_tmp
 
+    if os.path.isdir(os.path.join(index.path, "docs")):
+        d_tmp = os.path.join(index.path, "_docs.compact")
+        shutil.rmtree(d_tmp, ignore_errors=True)
+        (
+            index.docs()
+            .repartitionByRange(
+                max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
+            )
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(d_tmp)
+        )
+        staging["docs"] = d_tmp
+
     for name, tmp in staging.items():
-        final = os.path.join(index.path, name)
-        shutil.rmtree(final, ignore_errors=True)
-        os.replace(tmp, final)
+        _swap_dir(os.path.join(index.path, name), tmp)
 
     manifest["revision"] = manifest.get("revision", 0) + 1
     manifest.setdefault("metrics", {})["last_optimize_revision"] = manifest[
@@ -400,7 +484,7 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     an anti-join drops the deleted docs' rows from both posting layouts
     and the statistics are recomputed from the survivors — on Iceberg
     this would be a row-level MERGE DELETE; on plain parquet it is a
-    staged rewrite + atomic swap.  A document's terms hash into every
+    staged rewrite + gap-free rename swap.  A document's terms hash into every
     bucket, so all partitions are rewritten (deletes are rare,
     whole-index maintenance events at this layer).
     """
@@ -430,7 +514,7 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     num_buckets = manifest["num_buckets"]
 
     staging = {}
-    for name in ("postings", "lists", "term_stats", "field_stats"):
+    for name in ("postings", "lists", "term_stats", "field_stats", "docs"):
         staging[name] = os.path.join(index.path, f"_{name}.rewrite")
         shutil.rmtree(staging[name], ignore_errors=True)
 
@@ -465,11 +549,17 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     field_statistics(pseudo_frames).coalesce(1).write.mode("overwrite").parquet(
         staging["field_stats"]
     )
+    (
+        doc_lens.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
+        )
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(staging["docs"])
+    )
 
     for name, tmp in staging.items():
-        final = os.path.join(index.path, name)
-        shutil.rmtree(final, ignore_errors=True)
-        os.replace(tmp, final)
+        _swap_dir(os.path.join(index.path, name), tmp)
 
     manifest["n_docs"] = n_docs
     manifest["avgdl"] = avgdl

@@ -1,10 +1,3 @@
-from caterpillar_spark.ops.multimodal import (
-    decode_media,
-    encode_fake_media,
-    media_features,
-    resize_metadata,
-    sample_video_frames,
-)
 """Web-scale corpus operations beyond the reference engine.
 
 These are the training-data-pipeline operators a 100 TB corpus job
@@ -18,6 +11,13 @@ hash functions are md5-based so the DuckDB correctness oracles can
 reproduce them bit-for-bit.
 """
 
+from caterpillar_spark.ops.multimodal import (
+    decode_media,
+    encode_fake_media,
+    media_features,
+    resize_metadata,
+    sample_video_frames,
+)
 from caterpillar_spark.ops.textstats import (
     tokens_col,
     token_stats,
@@ -56,5 +56,9 @@ __all__ = [
     "embedding_near_dups",
     "hyperplane_lsh_buckets",
     "ann_topk",
+    "decode_media",
+    "encode_fake_media",
+    "media_features",
+    "resize_metadata",
+    "sample_video_frames",
 ]
-__all__ += ["decode_media", "encode_fake_media", "media_features", "resize_metadata", "sample_video_frames"]

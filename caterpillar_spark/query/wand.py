@@ -200,7 +200,11 @@ def wand_topk(
         scored.sort(key=lambda x: -x[0])
 
         heap: List[float] = []  # min-heap of the k best scores seen
-        results: List[tuple] = []
+        # Bounded emit heap: top-(k+32) of (score, -doc_id) — a broad
+        # query scores O(docs-in-partition) candidates, but only this
+        # many tuples ever live in Python memory per task.
+        emit_cap = k + 32
+        emit: List[tuple] = []
         for bound, block, rs in scored:
             if conjunctive and len(rs) < n_terms_required:
                 continue  # a required term has no postings in this range
@@ -235,15 +239,21 @@ def wand_topk(
                 keep = ~np.isin(uniq, excluded)
                 uniq, sums = uniq[keep], sums[keep]
             for d, s in zip(uniq, sums):
-                results.append((float(s), int(d)))
+                fs, fd = float(s), int(d)
                 if len(heap) < k:
-                    heapq.heappush(heap, float(s))
-                elif s > heap[0]:
-                    heapq.heapreplace(heap, float(s))
-        # per-task top-k (ties kept: cheap, correctness-safe)
-        results.sort(key=lambda x: (-x[0], x[1]))
-        for s, d in results[: k + 32]:
-            yield (d, s)
+                    heapq.heappush(heap, fs)
+                elif fs > heap[0]:
+                    heapq.heapreplace(heap, fs)
+                # (score, -doc_id) min-heap: evicts the lowest score,
+                # largest doc_id first — matching the final
+                # (score desc, doc_id asc) order.
+                if len(emit) < emit_cap:
+                    heapq.heappush(emit, (fs, -fd))
+                elif (fs, -fd) > emit[0]:
+                    heapq.heapreplace(emit, (fs, -fd))
+        # per-task top-(k+32), rank order
+        for s, nd in sorted(emit, key=lambda x: (-x[0], -x[1])):
+            yield (-nd, s)
 
     out = spark.createDataFrame(
         rows.rdd.mapPartitions(score_partition), "doc_id long, score double"

@@ -57,14 +57,35 @@ def append_batch(
     num_buckets: int = 64,
     block_bits: int = 4,
     batch_id: Optional[int] = None,
+    on_existing: str = "skip",
 ) -> InvertedIndex:
     """Append one batch of frames to the index at ``path`` (creating it
     if absent) and bump the revision.  Safe to call directly for
     batch-mode incremental loads; ``start_incremental_index`` calls it
-    from foreachBatch."""
+    from foreachBatch.
+
+    **Append-only-new-docs contract**: appends assume never-seen
+    doc_ids — re-appending an already-indexed document would duplicate
+    its postings, double-count statistics, and corrupt WAND's
+    conjunctive term counts.  ``on_existing`` guards it against the
+    ``docs`` ledger table:
+
+    * ``'skip'`` (default) — already-indexed doc_ids are filtered out
+      of the batch (idempotent re-ingest);
+    * ``'error'`` — raise ``ValueError`` listing the clashing count;
+    * ``'allow'`` — skip the ledger probe entirely (caller guarantees
+      novelty; for updates, ``delete_documents`` first, then append).
+
+    The probe is one columnar scan of the single-column doc ledger with
+    the (small) batch id set broadcast into the semi-join — at 10^9
+    docs that is one bigint column read, amortizable by batching.
+    """
     from caterpillar_spark.indexing.postinglists import build_posting_lists
 
     spark = frames.sparkSession
+    docs_path = os.path.join(path, "docs")
+    if on_existing not in ("skip", "error", "allow"):
+        raise ValueError(f"on_existing must be skip|error|allow, got {on_existing!r}")
     manifest = _load_manifest(path) or {
         "revision": 0,
         "num_buckets": num_buckets,
@@ -79,6 +100,24 @@ def append_batch(
     if batch_id is not None and str(batch_id) in manifest["batches"]:
         return InvertedIndex(spark, path)  # replayed batch: already applied
     num_buckets = manifest["num_buckets"]
+
+    if on_existing != "allow" and os.path.isdir(docs_path):
+        new_ids = frames.select("doc_id").distinct()
+        dupes = (
+            spark.read.parquet(docs_path)
+            .select("doc_id")
+            .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        )
+        n_dup = dupes.count()
+        if n_dup:
+            if on_existing == "error":
+                raise ValueError(
+                    f"{n_dup} doc_ids in this batch are already indexed at "
+                    f"{path}; delete_documents first or use on_existing='skip'"
+                )
+            frames = frames.join(F.broadcast(dupes), "doc_id", "left_anti")
+            if frames.isEmpty():
+                return InvertedIndex(spark, path)  # nothing new in batch
 
     t0 = time.time()
     frames.persist()
@@ -125,6 +164,14 @@ def append_batch(
     )
     field_statistics(frames).coalesce(1).write.mode("append").parquet(
         os.path.join(path, "field_stats")
+    )
+    (
+        doc_tok.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
+        )
+        .sortWithinPartitions("doc_id")
+        .write.mode("append")
+        .parquet(docs_path)
     )
     frames.unpersist()
 
@@ -209,11 +256,12 @@ def compact_statistics(index: InvertedIndex) -> None:
             ),
         )
     )
+    from caterpillar_spark.indexing.build import _swap_dir
+
     for df, path, part in ((merged_ts, ts_path, "term_bucket"),
                            (merged_fs, fs_path, None)):
         tmp = path + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
         w = df.repartition(part).write.partitionBy(part) if part else df.coalesce(1).write
         w.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_dir(path, tmp)

@@ -212,14 +212,19 @@ def test_metadata_filtering(spark):
 
 
 def test_build_index_and_resume(spark, tmp_path):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(src)
     frames = build_frames(docs, frame_size=0, metadata_cols=["lang"]).cache()
     path = str(tmp_path / "idx")
-    idx = build_index(frames, path, num_buckets=8, checkpoint_groups=4)
+    idx = build_index(frames, path, num_buckets=8, checkpoint_groups=4, source=src)
     n_posts = idx.postings().count()
     assert n_posts == frames_to_postings(frames).count()
     assert idx.manifest["stats_done"]
     assert len(idx.manifest["completed_slices"]) == 4
+
+    # doc ledger + stored-document pointer
+    assert idx.docs().count() == docs.count()
+    assert idx.stored_documents().count() == docs.count()
 
     # Search through the persisted index matches the in-memory engine.
     mem = MemoryIndex(frames)
@@ -247,7 +252,10 @@ def test_build_index_and_resume(spark, tmp_path):
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f)
 
-    idx2 = build_index(frames, path, num_buckets=8, checkpoint_groups=4)
+    # Resume with a DIFFERENT checkpoint_groups argument: the manifest's
+    # slicing wins (completed_slices keys index the prior bounds — a
+    # mismatched slicing would silently skip bucket ranges).
+    idx2 = build_index(frames, path, num_buckets=8, checkpoint_groups=2)
     assert idx2.postings().count() == n_posts
     assert len(idx2.manifest["completed_slices"]) == 4
 

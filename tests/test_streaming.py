@@ -91,3 +91,23 @@ def test_incremental_stream_builds_index(spark, landing):
         (r["doc_id"], round(r["score"], 9)) for r in want
     ]
     assert os.path.exists(os.path.join(idx_path, "manifest.json"))
+
+    # --- doc ledger + re-ingest guard -------------------------------
+    # The docs table is the membership ledger: one row per doc.
+    assert idx.docs().count() == 300
+
+    # Re-appending already-indexed documents (same urls => same
+    # doc_ids) without a batch_id must NOT duplicate postings:
+    # on_existing='skip' (default) filters them out and the index is
+    # byte-for-byte unchanged in counts/statistics.
+    reingest = build_frames(full.limit(20), metadata_cols=["lang"])
+    n_postings_before = idx.postings().count()
+    ndocs_before = idx.manifest["n_docs"]
+    append_batch(reingest, idx_path)
+    assert idx.postings().count() == n_postings_before
+    assert idx.manifest["n_docs"] == ndocs_before
+    assert idx.docs().count() == 300
+
+    # on_existing='error' surfaces the clash instead
+    with pytest.raises(ValueError, match="already indexed"):
+        append_batch(reingest, idx_path, on_existing="error")
