@@ -158,6 +158,25 @@ def q_metadata_search(spark, sf_dir):
     )
 
 
+def q_metadata_wildcard(spark, sf_dir):
+    """Schema-validated metadata search: anchored CATEGORICAL_TEXT
+    wildcard + NUMERIC range with a string query value coerced by the
+    declared field type (caterpillar_spark/schema.py)."""
+    from caterpillar_spark.schema import CATEGORICAL_TEXT, NUMERIC, Schema, TEXT
+
+    sch = Schema(
+        text=TEXT(),
+        lang=CATEGORICAL_TEXT(indexed=True),
+        n_chars=NUMERIC(indexed=True),
+    )
+    return _bool(
+        spark, sf_dir,
+        should=["table"],
+        metadata={"lang": {"*=": "e."}, "n_chars": {">=": "200"}},
+        schema=sch,
+    )
+
+
 def q_metadata_only(spark, sf_dir):
     from caterpillar_spark.query import filter_metadata
 
@@ -369,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_bm25_topk": q_wand_bm25_topk,
         "posting_list_stats": q_posting_list_stats,
         "metadata_search": q_metadata_search,
+        "metadata_wildcard": q_metadata_wildcard,
         "metadata_only": q_metadata_only,
         "tf_vectors": q_tf_vectors,
         "vocabulary": q_vocabulary,
@@ -571,6 +591,19 @@ JOIN stats s ON t.term = s.term
 JOIN dl d ON t.doc_id = d.doc_id
 CROSS JOIN consts c
 WHERE t.term = 'table' AND d.lang = 'en'
+GROUP BY t.doc_id
+""",
+        "metadata_wildcard": f"""
+WITH {_TOK}
+SELECT t.doc_id,
+       round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+FROM tf t
+JOIN stats s ON t.term = s.term
+JOIN dl d ON t.doc_id = d.doc_id
+CROSS JOIN consts c
+WHERE t.term = 'table'
+  AND regexp_matches(d.lang, '^(?:e.)')
+  AND d.n_chars >= 200
 GROUP BY t.doc_id
 """,
         "metadata_only": """

@@ -9,6 +9,9 @@ the HOW is idiomatic PySpark — DataFrame/Catalyst plans, vectorized
 Arrow UDFs, term-hash-partitioned index tables, broadcast query joins.
 
 Layout:
+  schema.py   declared Schema / FieldType layer: per-field analysers,
+              metadata validation + value analysis
+              (reference: processing/schema.py, index.py:1382-1428)
   analysis/   tokenizers, filters, analysers, sentence/paragraph split
               (reference: caterpillar/processing/analysis/*)
   framing.py  documents -> frames DataFrame (reference: processing/index.py:346-511)

@@ -129,13 +129,27 @@ _OPS = {
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
     "in": lambda c, v: c.isin(list(v)),
-    "*=": lambda c, v: c.rlike(v),
+    # reference wildcard equality is re.match — anchored at the start
+    # of the value (schema.py:200-201); compiled to an anchored RLIKE.
+    "*=": lambda c, v: c.rlike(f"^(?:{v})"),
 }
 
 
-def metadata_predicate(metadata: Dict[str, Dict[str, object]]) -> Column:
+def metadata_predicate(
+    metadata: Dict[str, Dict[str, object]], schema=None
+) -> Column:
     """Conjunctive document-metadata predicate over denormalized columns
-    (reference _validate_analyse_metadata op set, index.py:1382-1428)."""
+    (reference _validate_analyse_metadata op set, index.py:1382-1428).
+
+    With a declared :class:`caterpillar_spark.schema.Schema`, the spec
+    is validated against it first — unknown fields, non-indexed fields
+    and type-unsupported operators raise typed errors, and query values
+    are analysed (stripped / coerced / DATETIME-normalized) exactly
+    like ingest values before comparison."""
+    if schema is not None:
+        from caterpillar_spark.schema import validate_metadata
+
+        metadata = validate_metadata(schema, metadata)
     pred = F.lit(True)
     for field, conds in metadata.items():
         for op, value in conds.items():
@@ -145,10 +159,10 @@ def metadata_predicate(metadata: Dict[str, Dict[str, object]]) -> Column:
     return pred
 
 
-def filter_metadata(frames: DataFrame, metadata) -> DataFrame:
+def filter_metadata(frames: DataFrame, metadata, schema=None) -> DataFrame:
     """Metadata-only fast path (reference sqlite.py:1103-1198): no
     posting join at all, just a pruned frame scan."""
-    return frames.where(metadata_predicate(metadata))
+    return frames.where(metadata_predicate(metadata, schema=schema))
 
 
 def _resolve_weights(
@@ -224,6 +238,7 @@ def filter_frames(
     k1: float = BM25_K1,
     b: float = BM25_B,
     unit: str = "frame",
+    schema=None,
 ) -> DataFrame:
     """Boolean retrieval returning all qualifying units with scores.
 
@@ -269,7 +284,7 @@ def filter_frames(
     posts = posts.where(F.col("term").isin([t for t, _, _ in rows]))
     posts = _field_scope(posts, include_fields, exclude_fields)
     if metadata:
-        posts = posts.where(metadata_predicate(metadata))
+        posts = posts.where(metadata_predicate(metadata, schema=schema))
 
     joined = posts.join(F.broadcast(qdf), "term")
 
