@@ -223,18 +223,39 @@ def q_filter_range(spark, sf_dir):
     )
 
 
-def q_attribute_filter(spark, sf_dir):
-    from caterpillar_spark.query.vectors import attribute_filter
+@functools.lru_cache(maxsize=4)
+def _persisted_index_cached(sf_dir: str):
+    """On-disk index (build_index layout) with a persisted attributes
+    table appended post-indexing (add_attributes) — the stored path the
+    attribute queries grade against."""
+    import tempfile
+
+    from caterpillar_spark.indexing import add_attributes, build_index
 
     idx = _index_cached(sf_dir)
+    root = tempfile.mkdtemp(prefix="catspark_idx_")
+    built = build_index(
+        idx.frames,
+        f"{root}/idx",
+        num_buckets=8,
+        source=f"{sf_dir}/documents.parquet",
+    )
     attrs = idx.frames.select(
         "doc_id",
         "frame_seq",
         F.lit("length_class").alias("type"),
         F.when(F.col("n_chars") >= 300, "long").otherwise("short").alias("value"),
     )
+    return add_attributes(built, attrs)
+
+
+def q_attribute_filter(spark, sf_dir):
+    from caterpillar_spark.query.vectors import attribute_filter
+
+    idx = _index_cached(sf_dir)
+    stored = _persisted_index_cached(sf_dir)
     return attribute_filter(
-        idx.frames, attrs, {"length_class": {"=": "long"}}
+        idx.frames, stored.attributes(), {"length_class": {"=": "long"}}
     ).select("doc_id", "n_chars")
 
 

@@ -9,6 +9,7 @@ manifest with per-partition lineage + metrics.
 
 from caterpillar_spark.indexing.build import (
     InvertedIndex,
+    add_attributes,
     build_index,
     postings_with_bucket,
     term_statistics,
@@ -17,6 +18,7 @@ from caterpillar_spark.indexing.build import (
 
 __all__ = [
     "InvertedIndex",
+    "add_attributes",
     "build_index",
     "postings_with_bucket",
     "term_statistics",

@@ -101,6 +101,12 @@ class InvertedIndex:
         membership/length table incremental appends guard against."""
         return self.spark.read.parquet(os.path.join(self.path, "docs"))
 
+    def attributes(self) -> DataFrame:
+        """Persisted frame attributes (doc_id, frame_seq, type, value) —
+        the reference's attribute/frame_attribute_posting tables
+        (_sqlite_v0_10_0_schema.py:145-203)."""
+        return self.spark.read.parquet(os.path.join(self.path, "attributes"))
+
     def stored_documents(self) -> DataFrame:
         """The source document table this index was built from (the
         reference's stored-fields iteration, storage/sqlite.py:771-812).
@@ -382,6 +388,54 @@ def build_index(
 
     frames.unpersist()
     return InvertedIndex(spark, path)
+
+
+def add_attributes(index: InvertedIndex, attributes: DataFrame) -> InvertedIndex:
+    """Append frame/document attribute annotations to the index and
+    bump its revision.
+
+    The reference appends attributes *post-indexing*, kept in tables
+    separate from the postings for write locality
+    (``IndexWriter.append_frame_attributes``, processing/index.py:
+    513-528; storage layout _sqlite_v0_10_0_schema.py:145-203, with an
+    on-conflict-ignore primary key so re-appends are no-ops).  The
+    Spark restatement is an ``<index>/attributes`` parquet table
+    partitioned by attribute ``type`` (search prunes to the queried
+    types) with an anti-join dedupe standing in for the conflict-ignore
+    key.
+
+    ``attributes`` must have columns (doc_id, frame_seq, type, value);
+    ``value`` is stored as string (the reference leans on SQLite
+    dynamic typing; a columnar layout needs one type — numeric
+    attributes compare through a cast at query time).
+    """
+    path = os.path.join(index.path, "attributes")
+    df = (
+        attributes.select(
+            F.col("doc_id").cast("long"),
+            F.col("frame_seq").cast("int"),
+            F.col("type").cast("string"),
+            F.col("value").cast("string"),
+        )
+        .dropDuplicates(["doc_id", "frame_seq", "type", "value"])
+    )
+    if os.path.isdir(path):
+        df = df.join(
+            index.attributes(),
+            ["doc_id", "frame_seq", "type", "value"],
+            "left_anti",
+        )
+    (
+        df.repartition("type")
+        .sortWithinPartitions("value", "doc_id", "frame_seq")
+        .write.partitionBy("type")
+        .mode("append")
+        .parquet(path)
+    )
+    manifest = index.manifest
+    manifest["revision"] = manifest.get("revision", 0) + 1
+    _save_manifest(index.path, manifest)
+    return InvertedIndex(index.spark, index.path)
 
 
 def optimize_index(index: InvertedIndex) -> InvertedIndex:

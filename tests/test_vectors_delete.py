@@ -125,3 +125,54 @@ def test_delete_documents(spark, docs, tmp_path):
     wand_hits = wand_topk(idx2.compressed(), ["the", "data"], k=50).collect()
     assert all(r["doc_id"] not in set(victims) for r in wand_hits)
     frames.unpersist()
+
+
+def test_persisted_attributes(spark, frames, tmp_path):
+    """add_attributes appends a partitioned attributes table with
+    conflict-ignore dedupe and a revision bump; attribute_filter over
+    the stored table matches the in-memory side relation."""
+    from caterpillar_spark.indexing import add_attributes, build_index
+
+    path = str(tmp_path / "idx")
+    idx = build_index(frames, path, num_buckets=4)
+    rev0 = idx.manifest["revision"]
+
+    attrs = frames.select(
+        "doc_id",
+        "frame_seq",
+        F.lit("length_class").alias("type"),
+        F.when(F.col("n_chars") >= 300, "long").otherwise("short").alias("value"),
+    )
+    idx = add_attributes(idx, attrs)
+    assert idx.manifest["revision"] == rev0 + 1
+    n_stored = idx.attributes().count()
+    assert n_stored == attrs.dropDuplicates(
+        ["doc_id", "frame_seq", "type", "value"]
+    ).count()
+
+    # re-append is a no-op on the data (conflict-ignore), revision bumps
+    idx = add_attributes(idx, attrs)
+    assert idx.attributes().count() == n_stored
+    assert idx.manifest["revision"] == rev0 + 2
+
+    # a second attribute type lands in its own partition directory
+    sent = frames.select(
+        "doc_id", "frame_seq",
+        F.lit("sentiment").alias("type"),
+        F.when(F.col("doc_id") % 2 == 0, "pos").otherwise("neg").alias("value"),
+    )
+    idx = add_attributes(idx, sent)
+    assert idx.attributes().select("type").distinct().count() == 2
+
+    # stored-path filtering == in-memory side-relation filtering
+    stored = attribute_filter(
+        frames, idx.attributes(), {"length_class": {"=": "long"}}
+    )
+    mem = attribute_filter(frames, attrs, {"length_class": {"=": "long"}})
+    assert stored.count() == mem.count() > 0
+    # conjunction across types intersects
+    both = attribute_filter(
+        frames, idx.attributes(),
+        {"length_class": {"=": "long"}, "sentiment": {"=": "pos"}},
+    )
+    assert both.count() == stored.where(F.col("doc_id") % 2 == 0).count()
