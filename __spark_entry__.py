@@ -128,6 +128,18 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_bm25_doc_topk(spark, sf_dir):
+    """Document-granularity BM25 (tf summed over frames before
+    saturation, dl = doc length, doc-level idf) — numerically the WAND
+    formula, via the DataFrame engine."""
+    from caterpillar_spark.query import search
+
+    idx = _index_cached(sf_dir)
+    return _rounded(
+        search(idx, k=K, unit="document", should=TOPK_TERMS, scorer="bm25_doc")
+    )
+
+
 @functools.lru_cache(maxsize=4)
 def _compressed_cached(sf_dir: str):
     """Delta-gap+varint compressed posting lists (block-max layout) for
@@ -406,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_variants": q_term_variants,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
+        "bm25_doc_topk": q_bm25_doc_topk,
         "wand_bm25_topk": q_wand_bm25_topk,
         "posting_list_stats": q_posting_list_stats,
         "metadata_search": q_metadata_search,
@@ -560,6 +573,27 @@ SELECT doc_id, score FROM (
 ) ORDER BY score DESC, doc_id ASC LIMIT {K}
 """,
         "bm25_topk": f"""
+WITH {_TOK}
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(
+               ln(1.0 + (c.n - s.ff + 0.5) / (s.ff + 0.5))
+               * (t.freq * 2.2)
+               / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN stats s ON t.term = s.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN consts c
+    WHERE t.term IN ({topk})
+    GROUP BY t.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        # Document-granularity BM25 — on the driver's single-frame
+        # corpus doc-level df/dl equal frame-level ones, so the SQL is
+        # the same formula over the doc-level tf relation (the engine
+        # path differs: docs_occuring idf + doc_lens join).
+        "bm25_doc_topk": f"""
 WITH {_TOK}
 SELECT doc_id, score FROM (
     SELECT t.doc_id,

@@ -101,6 +101,10 @@ class InvertedIndex:
         membership/length table incremental appends guard against."""
         return self.spark.read.parquet(os.path.join(self.path, "docs"))
 
+    def doc_lens(self) -> DataFrame:
+        """(doc_id, dl) for document-level scoring — the docs ledger."""
+        return self.docs().select("doc_id", "dl")
+
     def attributes(self) -> DataFrame:
         """Persisted frame attributes (doc_id, frame_seq, type, value) —
         the reference's attribute/frame_attribute_posting tables

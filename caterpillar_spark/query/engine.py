@@ -30,6 +30,15 @@ Scoring:
   ``score = sum(idf * f*(k1+1) / (f + k1*(1 - b + b*dl/avgdl)))`` with
   dl = frame token count, avgdl from field statistics.  This is the
   engine's headline scorer per the build target.
+* ``bm25_doc`` — document-granularity BM25: tf summed over the doc's
+  frames before saturation, dl = doc token count, idf over document
+  frequencies — numerically identical to the WAND engine
+  (query/wand.py).  NOTE the semantics fork at unit='document':
+  ``scorer='bm25'`` sums *frame-level* BM25 scores per document (the
+  reference's frame-rollup), ``scorer='bm25_doc'`` is true doc-level
+  BM25; they coincide exactly on single-frame documents
+  (tests/test_index_query.py pins both relations on a multi-frame
+  corpus).
 
 Execution shape (Spark-first):
 
@@ -82,6 +91,14 @@ class MemoryIndex:
 
     def field_stats(self) -> DataFrame:
         return field_statistics(self.frames)
+
+    def doc_lens(self) -> DataFrame:
+        """(doc_id, dl): document length = sum of its frames' token
+        counts (stop-advanced positions included — the dl the persisted
+        docs ledger and WAND block bounds use)."""
+        return self.frames.groupBy("doc_id").agg(
+            F.sum("frame_tokens").cast("long").alias("dl")
+        )
 
     def num_buckets(self) -> Optional[int]:
         return None
@@ -174,15 +191,20 @@ def _resolve_weights(
 ) -> Tuple[Dict[str, float], float, float]:
     """Driver-side weight resolution from pruned statistics reads.
 
-    Returns ({term: weight}, n_frames, avgdl).  Missing terms get
-    weight 0 (reference sqlite.py:1340-1348).
+    Returns ({term: weight}, N, avgdl) — N and the document frequency
+    are *frame*-granular for the frame scorers (tfidf/bm25) and
+    *document*-granular for ``bm25_doc`` (docs_occuring + the doc-lens
+    relation, exactly the statistics WAND scores with).  Missing terms
+    get weight 0 (reference sqlite.py:1340-1348).
     """
+    doc_mode = scorer == "bm25_doc"
     term_values = sorted({t for t, _, _ in terms})
     stats = _field_scope(index.term_stats(), include_fields, exclude_fields)
+    stat_col = "docs_occuring" if doc_mode else "frames_occuring"
     rows = (
         stats.where(F.col("term").isin(term_values))
         .groupBy("term")
-        .agg(F.sum("frames_occuring").alias("ff"))
+        .agg(F.sum(stat_col).alias("ff"))
         .collect()
     )
     ff = {r["term"]: r["ff"] for r in rows}
@@ -194,6 +216,7 @@ def _resolve_weights(
     scope_key = (
         tuple(include_fields) if include_fields else None,
         tuple(exclude_fields) if exclude_fields else None,
+        doc_mode,
     )
     cache = getattr(index, "_consts_cache", None)
     if cache is None:
@@ -203,26 +226,33 @@ def _resolve_weights(
         except (AttributeError, TypeError):
             pass
     if scope_key in cache:
-        n_frames, avgdl = cache[scope_key]
+        n_units, avgdl = cache[scope_key]
+    elif doc_mode:
+        agg = index.doc_lens().agg(
+            F.count("*").alias("n"), F.sum("dl").alias("tok")
+        ).collect()[0]
+        n_units = float(agg["n"] or 0)
+        avgdl = (agg["tok"] / agg["n"]) if agg["n"] else 1.0
+        cache[scope_key] = (n_units, avgdl)
     else:
         fstats = _field_scope(index.field_stats(), include_fields, exclude_fields)
         agg = fstats.agg(
             F.sum("frame_count").alias("n"), F.sum("token_count").alias("tok")
         ).collect()[0]
-        n_frames = float(agg["n"] or 0)
+        n_units = float(agg["n"] or 0)
         avgdl = (agg["tok"] / agg["n"]) if agg["n"] else 1.0
-        cache[scope_key] = (n_frames, avgdl)
+        cache[scope_key] = (n_units, avgdl)
 
     weights: Dict[str, float] = {}
     for t in term_values:
         df_t = ff.get(t)
-        if df_t is None or n_frames == 0:
+        if df_t is None or n_units == 0:
             weights[t] = 0.0
-        elif scorer == "bm25":
-            weights[t] = math.log(1.0 + (n_frames - df_t + 0.5) / (df_t + 0.5))
+        elif scorer in ("bm25", "bm25_doc"):
+            weights[t] = math.log(1.0 + (n_units - df_t + 0.5) / (df_t + 0.5))
         else:
-            weights[t] = 1.0 + math.log(n_frames / (df_t + 1.0))
-    return weights, n_frames, avgdl
+            weights[t] = 1.0 + math.log(n_units / (df_t + 1.0))
+    return weights, n_units, avgdl
 
 
 def filter_frames(
@@ -289,7 +319,25 @@ def filter_frames(
     joined = posts.join(F.broadcast(qdf), "term")
 
     positive = F.col("kind") != "exclude"
-    if scorer == "bm25":
+    if scorer == "bm25_doc":
+        # True document-granularity BM25 (the WAND formula,
+        # query/wand.py:29-31): tf summed over the doc's frames BEFORE
+        # saturation, dl = document token count, idf over document
+        # frequencies.  One extra partial-agg shuffle vs the frame
+        # scorers; ``unit`` must be 'document'.
+        if unit != "document":
+            raise ValueError("scorer='bm25_doc' requires unit='document'")
+        per_term = joined.groupBy(
+            "doc_id", "term", "group_id", "kind", "weight"
+        ).agg(F.sum("freq").alias("tf"))
+        joined = per_term.join(index.doc_lens(), "doc_id")
+        contrib = F.col("weight") * (
+            F.col("tf") * (k1 + 1.0)
+        ) / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+    elif scorer == "bm25":
         contrib = F.col("weight") * (
             F.col("freq") * (k1 + 1.0)
         ) / (

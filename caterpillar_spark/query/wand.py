@@ -76,11 +76,16 @@ class CompressedIndex:
         num_buckets: int = 64,
         block_bits: int = 4,
         path: Optional[str] = None,
+        doc_lens: Optional[DataFrame] = None,
     ) -> "CompressedIndex":
+        """``doc_lens`` (doc_id, dl) overrides the postings-derived
+        document lengths — pass the frames-derived relation to keep dl
+        identical to the DataFrame engine when frames with no surviving
+        postings exist (all tokens stop-marked)."""
         from caterpillar_spark.indexing.postinglists import doc_level_postings
 
         corpus = (
-            doc_level_postings(postings)
+            doc_level_postings(postings, doc_lens=doc_lens)
             .select("doc_id", "dl")
             .dropDuplicates(["doc_id"])
             .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
@@ -89,7 +94,7 @@ class CompressedIndex:
         n_docs, avgdl = int(corpus["n"]), float(corpus["avgdl"] or 1.0)
         lists = build_posting_lists(
             postings, num_buckets=num_buckets, block_bits=block_bits,
-            avgdl=avgdl,
+            avgdl=avgdl, doc_lens=doc_lens,
         )
         if path:
             write_posting_lists(lists, path)

@@ -419,3 +419,39 @@ def test_term_vectors_identical_vs_stored_reference_postings(spark):
                 same += 1
     assert tot >= 1140
     assert same >= tot - 1
+
+
+def test_bm25_doc_matches_wand_on_multiframe_corpus(spark):
+    """Pin the doc-unit BM25 semantics: scorer='bm25_doc' is numerically
+    identical to block-max WAND on a corpus where most documents span
+    multiple frames, while the frame-rollup scorer ('bm25' at
+    unit='document') intentionally diverges there (the two coincide
+    only on single-frame docs)."""
+    from caterpillar_spark.query.wand import CompressedIndex, wand_topk
+    from caterpillar_spark.sources import ingest_webtext, synthetic_webtext
+
+    docs = ingest_webtext(synthetic_webtext(spark, 120, seed=9))
+    frames = build_frames(docs, frame_size=2, metadata_cols=["lang"]).cache()
+    per_doc = frames.groupBy("doc_id").count()
+    assert per_doc.where("count > 1").count() > per_doc.count() / 2
+
+    idx = MemoryIndex(frames)
+    cidx = CompressedIndex.build(
+        idx.postings(), num_buckets=8, block_bits=3, doc_lens=idx.doc_lens()
+    )
+    terms = ["the", "data"]
+    got = search(idx, k=15, unit="document", should=terms, scorer="bm25_doc").collect()
+    want = wand_topk(cidx, terms, k=15).collect()
+    assert [(r["doc_id"], round(r["score"], 8)) for r in got] == [
+        (r["doc_id"], round(r["score"], 8)) for r in want
+    ]
+
+    rolled = search(idx, k=15, unit="document", should=terms, scorer="bm25").collect()
+    assert [(r["doc_id"], round(r["score"], 8)) for r in rolled] != [
+        (r["doc_id"], round(r["score"], 8)) for r in got
+    ]
+
+    # frame unit rejects the document-granularity scorer
+    with pytest.raises(ValueError, match="bm25_doc"):
+        search(idx, k=5, unit="frame", should=terms, scorer="bm25_doc").collect()
+    frames.unpersist()
