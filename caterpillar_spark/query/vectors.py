@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def tf_vectors(postings: DataFrame, unit: str = "frame") -> DataFrame:
@@ -50,16 +50,30 @@ def vocabulary(postings: DataFrame) -> DataFrame:
     """Term dictionary with dense ids assigned frequency-descending
     (ties broken by term asc for determinism).  The reference gives hot
     terms small ids for locality; here the ordering is informational —
-    locality comes from the block layout instead."""
+    locality comes from the block layout instead.
+
+    Dense-id assignment is ``zipWithIndex`` over a *range-partitioned*
+    global sort: every partition sorts its key range in parallel and
+    ids are offset by the partition-size prefix sums (one extra count
+    job) — no single-partition Exchange anywhere, so this survives
+    hapax-heavy web vocabularies (>10^8 terms) that a global
+    ``row_number()`` window cannot.  Ids start at 1 and follow the sort
+    order exactly; the call is eager (zipWithIndex materializes the
+    sorted relation once).
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     totals = postings.groupBy("term").agg(
         F.sum("freq").cast("long").alias("total_freq")
     )
-    w = Window.orderBy(F.desc("total_freq"), F.asc("term"))
-    # row_number over a global window is a single-partition sort of the
-    # *vocabulary* (not the corpus) — acceptable up to ~10^8 terms; at
-    # larger vocabularies switch to zipWithIndex over a range-partitioned
-    # sort.
-    return totals.withColumn("term_id", F.row_number().over(w))
+    ordered = totals.orderBy(F.desc("total_freq"), F.asc("term"))
+    schema = StructType(
+        list(ordered.schema.fields) + [StructField("term_id", IntegerType(), False)]
+    )
+    indexed = ordered.rdd.zipWithIndex().map(
+        lambda pair: (*pair[0], pair[1] + 1)
+    )
+    return postings.sparkSession.createDataFrame(indexed, schema)
 
 
 def metadata_inversion(

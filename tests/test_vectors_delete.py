@@ -51,6 +51,27 @@ def test_vocabulary_ordering(postings):
     freqs = [r["total_freq"] for r in by_id]
     assert freqs == sorted(freqs, reverse=True)
     assert [r["term_id"] for r in by_id] == list(range(1, len(by_id) + 1))
+    # ties broken term-asc within equal frequency
+    for a, b in zip(by_id, by_id[1:]):
+        if a["total_freq"] == b["total_freq"]:
+            assert a["term"] < b["term"]
+
+
+def test_vocabulary_no_single_partition_exchange(postings, spark):
+    """Dense-id assignment must not funnel the vocabulary through one
+    partition: the underlying sort is a range-partitioned Exchange and
+    no Window appears anywhere in the plan."""
+    from pyspark.sql import functions as SF
+
+    totals = postings.groupBy("term").agg(
+        SF.sum("freq").cast("long").alias("total_freq")
+    )
+    plan = totals.orderBy(
+        SF.desc("total_freq"), SF.asc("term")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "Window" not in vocabulary(postings)._jdf.queryExecution().analyzed().toString()
 
 
 def test_metadata_inversion_partitions_total(frames):
