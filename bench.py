@@ -82,6 +82,13 @@ def bench_build(spark, sf_dir: str, cpus: int = 32):
         def field_stats(self):
             return field_stats
 
+        def doc_lens(self):
+            from pyspark.sql import functions as F
+
+            return frames.groupBy("doc_id").agg(
+                F.sum("frame_tokens").cast("long").alias("dl")
+            )
+
         def num_buckets(self):
             return None
 
@@ -150,6 +157,18 @@ def main() -> None:
         4,
     )
 
+    queries["bm25_doc_topk"] = round(
+        bench_query(
+            lambda: run(
+                search(
+                    idx, k=10, unit="document", should=TOPK_TERMS,
+                    scorer="bm25_doc",
+                )
+            ),
+            reps=3,
+        ),
+        4,
+    )
     queries["tfidf_topk"] = round(
         bench_query(
             lambda: run(
@@ -210,6 +229,23 @@ def main() -> None:
                     minhash_signatures(docs, num_hashes=16, shingle_n=3),
                     num_hashes=16,
                     bands=4,
+                )
+            ),
+            warmups=0, reps=1,
+        ),
+        4,
+    )
+
+    from caterpillar_spark.ops import embedding_lsh_candidates, embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    queries["embedding_lsh_near_dups"] = round(
+        bench_query(
+            lambda: run(
+                embedding_near_dups(
+                    emb, threshold=0.3,
+                    candidates=embedding_lsh_candidates(emb, num_planes=8),
                 )
             ),
             warmups=0, reps=1,

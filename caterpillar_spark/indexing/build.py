@@ -208,9 +208,11 @@ def build_index(
 
     ``block_bits`` sizes the doc-range block space of the compressed
     lists (2^block_bits blocks).  The default 4 suits sandbox-scale
-    corpora (<=~10^5 docs); at web scale use >= 10 so hot terms shard
-    over enough blocks for WAND pruning and skew-free encode — see
-    postinglists.py block sizing notes and BASELINE.md measurements.
+    corpora (<=~10^5 docs); size it so a hot term's per-block row
+    carries ~3*10^4..10^8 postings — >= 10 at web scale (10^9+ docs),
+    where it both shards the encode skew-free and keeps WAND pruning
+    granular.  Measured at both settings on a 2M-doc corpus in
+    BASELINE.md ("Block sizing at 2M docs").
 
     ``source`` (optional) records the source document table's path in
     the manifest as the stored-document pointer
@@ -522,6 +524,19 @@ def optimize_index(index: InvertedIndex) -> InvertedIndex:
         )
         staging["docs"] = d_tmp
 
+    if os.path.isdir(os.path.join(index.path, "attributes")):
+        a_tmp = os.path.join(index.path, "_attributes.compact")
+        shutil.rmtree(a_tmp, ignore_errors=True)
+        (
+            index.attributes()
+            .repartition("type")
+            .sortWithinPartitions("value", "doc_id", "frame_seq")
+            .write.partitionBy("type")
+            .mode("overwrite")
+            .parquet(a_tmp)
+        )
+        staging["attributes"] = a_tmp
+
     for name, tmp in staging.items():
         _swap_dir(os.path.join(index.path, name), tmp)
 
@@ -564,9 +579,17 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     pseudo_frames = remaining.dropDuplicates(
         ["doc_id", "field", "frame_seq"]
     ).select("doc_id", "field", "frame_seq", "frame_tokens")
-    doc_lens = pseudo_frames.groupBy("doc_id").agg(
-        F.sum("frame_tokens").cast("long").alias("dl")
-    )
+    if os.path.isdir(os.path.join(index.path, "docs")):
+        # The docs ledger has exact document lengths (including frames
+        # with no surviving postings) — prefer it over the pseudo-frame
+        # reconstruction.
+        doc_lens = index.docs().join(
+            F.broadcast(ids_df), "doc_id", "left_anti"
+        ).select("doc_id", "dl")
+    else:
+        doc_lens = pseudo_frames.groupBy("doc_id").agg(
+            F.sum("frame_tokens").cast("long").alias("dl")
+        )
     agg = doc_lens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 1.0)
     num_buckets = manifest["num_buckets"]

@@ -65,7 +65,14 @@ from caterpillar_spark.indexing.codec import (
 
 BM25_K1 = 1.2
 BM25_B = 0.75
-DEFAULT_BLOCK_BITS = 4  # 16 blocks; use 10-12 (1024-4096) at full scale
+# Block sizing (measured, BASELINE.md "Block sizing at 2M docs"): pick
+# 2^block_bits so a *hot* term's per-(term, block) row carries between
+# ~3*10^4 postings (the measured overhead floor: 2M docs @ bits=10 =
+# ~2k/row ran 14-54% slower queries than bits=6) and ~10^8 (the
+# ~0.4 GB-decoded task-memory ceiling, DESIGN_SCALE.md).  2M docs ->
+# 4-6; 10^9 docs -> 10-15; 10^12 -> 12-24.  The default suits sandbox
+# scale only.
+DEFAULT_BLOCK_BITS = 4
 
 POSTING_LIST_SCHEMA = StructType(
     [
