@@ -366,6 +366,34 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.2, candidates=cands)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Dedup clustering: connected components (min-label propagation)
+    over the MinHash-LSH candidate-pair graph; cluster_id = the
+    component's minimum doc_id (the deterministic survivor)."""
+    from caterpillar_spark.ops import (
+        lsh_candidates,
+        minhash_signatures,
+        near_dup_clusters,
+    )
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=16, shingle_n=3)
+    return near_dup_clusters(lsh_candidates(sigs, num_hashes=16, bands=4))
+
+
+def q_topk_stored_docs(spark, sf_dir):
+    """BM25 top-k through the PERSISTED index (term-bucket partition
+    pruning) joined back to the stored source documents via the
+    manifest's stored-document pointer."""
+    from caterpillar_spark.query import search
+
+    idx = _persisted_index_cached(sf_dir)
+    top = _rounded(
+        search(idx, k=K, unit="document", should=TOPK_TERMS, scorer="bm25")
+    )
+    docs = idx.stored_documents().select("doc_id", "lang", "n_chars")
+    return top.join(docs, "doc_id").select("doc_id", "score", "lang", "n_chars")
+
+
 def q_cosine_topk(spark, sf_dir):
     from caterpillar_spark.ops import cosine_topk
 
@@ -439,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
+        "near_dup_clusters": q_near_dup_clusters,
+        "topk_stored_docs": q_topk_stored_docs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -801,6 +831,44 @@ SELECT f.doc_id, f.fp, g.survivor_id, g.group_size,
 FROM f JOIN g ON f.fp = g.fp
 """,
         "minhash_lsh": _minhash_oracle(),
+        # Exact connected components over the same md5-reproduced LSH
+        # candidate pairs: recursive transitive closure, min node per
+        # component (tiny graph at oracle scale).
+        "near_dup_clusters": f"""
+WITH RECURSIVE {_minhash_cands_ctes(3)},
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM cand
+    UNION
+    SELECT id_b AS u, id_a AS v FROM cand
+),
+reach (u, v) AS (
+    SELECT u, u AS v FROM edges
+    UNION
+    SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+""",
+        "topk_stored_docs": f"""
+WITH {_TOK},
+top AS (
+    SELECT doc_id, score FROM (
+        SELECT t.doc_id,
+               round(sum(
+                   ln(1.0 + (c.n - s.ff + 0.5) / (s.ff + 0.5))
+                   * (t.freq * 2.2)
+                   / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+               ), 6) AS score
+        FROM tf t
+        JOIN stats s ON t.term = s.term
+        JOIN dl d ON t.doc_id = d.doc_id
+        CROSS JOIN consts c
+        WHERE t.term IN ({topk})
+        GROUP BY t.doc_id
+    ) ORDER BY score DESC, doc_id ASC LIMIT {K}
+)
+SELECT top.doc_id, top.score, d.lang, d.n_chars
+FROM top JOIN documents d ON top.doc_id = d.doc_id
+""",
         "simhash": """
 WITH tf AS (
     SELECT doc_id, term, count(*)::BIGINT AS cnt

@@ -29,6 +29,7 @@ from caterpillar_spark.ops.dedup import (
     exact_dedup,
     minhash_signatures,
     lsh_candidates,
+    near_dup_clusters,
     simhash,
     ngram_jaccard_pairs,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidates",
+    "near_dup_clusters",
     "simhash",
     "ngram_jaccard_pairs",
     "cosine_topk",

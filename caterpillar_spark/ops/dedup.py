@@ -176,6 +176,72 @@ def lsh_candidates(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate candidate-pair graph.
+
+    The step a real dedup pipeline needs after candidate generation:
+    pairwise matches (from :func:`lsh_candidates`,
+    :func:`ngram_jaccard_pairs`, or embedding near-dups) chain into
+    duplicate *clusters*, and the survivor must be chosen per cluster,
+    not per pair.  Returns one row per document appearing in any pair:
+    ``(doc_id, cluster_id)`` with ``cluster_id`` = the minimum doc_id
+    in the component (the deterministic dedup survivor).
+
+    Execution: iterative min-label propagation — each round is one
+    shuffle (edge equi-join + min aggregation), converging in
+    O(component diameter) rounds.  Near-dup components are small and
+    dense (they come from shared LSH buckets), so the diameter is tiny;
+    ``max_iterations`` bounds pathological chains.  Each round's label
+    relation is persisted and the previous one unpersisted, so lineage
+    stays flat.  For adversarial long-chain graphs swap in the
+    large-star/small-star rounds of Kiveris et al. (CC in MapReduce,
+    2014) — same join primitive, O(log^2 n) rounds; not needed for the
+    LSH-cluster shape.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor = edges.join(
+            labels, edges["v"] == labels["node"]
+        ).select(edges["u"].alias("node"), "label")
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

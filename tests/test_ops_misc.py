@@ -144,3 +144,33 @@ def test_embedding_lsh_candidates_find_near_dups(spark):
         for r in embedding_near_dups(emb, threshold=0.999).collect()
     }
     assert got <= brute
+
+
+def test_near_dup_clusters(spark):
+    """Connected components over a pair graph: chains merge into one
+    cluster labeled by the minimum id; disjoint components stay apart;
+    isolated docs (no pairs) don't appear."""
+    from caterpillar_spark.ops import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> component {1,2,3,4}
+         (10, 11),                    # pair
+         (20, 22), (21, 22)],         # star -> {20,21,22}
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+    # order of endpoints must not matter
+    flipped = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3)], "id_a long, id_b long"
+    )
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(flipped).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 1, 4: 1}
