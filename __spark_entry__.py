@@ -413,6 +413,16 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.3, candidates=cands)
 
 
+def q_windowed_events(spark, sf_dir):
+    """Event-time tumbling-window aggregation over the events table —
+    the batch form of the streaming watermark plan (same code path,
+    caterpillar_spark/streaming/stateful.py)."""
+    from caterpillar_spark.streaming import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(events, "1 hour")
+
+
 def q_ann_topk(spark, sf_dir):
     from caterpillar_spark.ops import ann_topk
 
@@ -474,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
+        "windowed_events": q_windowed_events,
     }
 
 
@@ -951,6 +962,15 @@ WHERE round(
         # The engine's hyperplanes are md5-derived, so the ANN oracle
         # reproduces the exact same sign bits, <=1-bit multi-probe
         # candidate set, cosine and (desc, id asc) top-k in SQL.
+        # Tumbling 1h windows align to epoch hours == date_trunc('hour').
+        "windowed_events": """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
         "ann_topk": f"""
 WITH {_hyperplane_bucket_ctes(8)},
 qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),

@@ -111,3 +111,66 @@ def test_incremental_stream_builds_index(spark, landing):
     # on_existing='error' surfaces the clash instead
     with pytest.raises(ValueError, match="already indexed"):
         append_batch(reingest, idx_path, on_existing="error")
+
+
+def test_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState streaming dedup: across micro-batches only
+    the first occurrence of each fingerprint is emitted."""
+    from caterpillar_spark.streaming import first_seen
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    # batch A: fingerprints a,b ; batch B: b (dup), c
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, fp string"
+    )
+    b = spark.createDataFrame(
+        [(3, "b"), (4, "c")], "doc_id long, fp string"
+    )
+    a.coalesce(1).write.mode("append").parquet(land)
+    b.coalesce(1).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema("doc_id long, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        first_seen(stream, "fp")
+        .writeStream.format("memory")
+        .queryName("first_seen_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {
+        (r["doc_id"], r["fp"])
+        for r in spark.sql("SELECT * FROM first_seen_sink").collect()
+    }
+    # doc 3 (duplicate fingerprint 'b') must be dropped
+    assert {r[1] for r in rows} == {"a", "b", "c"}
+    assert (3, "b") not in rows
+    assert len(rows) == 3
+
+
+def test_windowed_event_counts_batch_vs_manual(spark):
+    """Event-time tumbling windows on the events table: the windowed
+    plan equals a manual date_trunc aggregation (batch path; the same
+    plan with a watermark is the streaming state-bounding variant)."""
+    from caterpillar_spark.streaming import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in windowed_event_counts(events, "1 hour").collect()
+    }
+    manual = {
+        (r["ws"], r["event_type"]): (r["n"], r["vs"])
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("vs"))
+        .collect()
+    }
+    assert got == manual and len(got) > 0
