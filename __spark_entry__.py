@@ -312,6 +312,18 @@ def q_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    from caterpillar_spark.ops import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
+def q_gopher_quality(spark, sf_dir):
+    from caterpillar_spark.ops import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
 def q_quality_scores(spark, sf_dir):
     from caterpillar_spark.ops import quality_scores
 
@@ -472,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_bigrams": q_significant_bigrams,
         "ngram_search": q_ngram_search,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
+        "gopher_quality": q_gopher_quality,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
@@ -785,6 +799,47 @@ SELECT doc_id,
              / greatest(len(ts), 1)::DOUBLE, 6) AS mean_token_len
 FROM t
 """,
+        "bpe_token_stats": f"""
+WITH m AS (
+    SELECT doc_id, text,
+           str_split(text, ' ') AS ts,
+           list_filter(
+               regexp_extract_all(text, '{_BPE_SQL_PATTERN}'),
+               x -> regexp_matches(x, '\\S')
+           ) AS bpe
+    FROM documents
+)
+SELECT doc_id,
+       len(ts)::INT AS ws_tokens,
+       len(bpe)::INT AS bpe_tokens,
+       round(length(text) / greatest(len(bpe), 1), 6) AS chars_per_bpe
+FROM m
+""",
+        "gopher_quality": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+m AS (
+    SELECT doc_id,
+           len(ts)::INT AS n_words,
+           list_sum(list_transform(ts, x -> length(x))) / greatest(len(ts), 1) AS mean_len,
+           len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+               / greatest(len(ts), 1) AS alpha_frac,
+           len(list_distinct(list_filter(ts, x -> x IN
+               ('the','a','of','and','in','to','is','was','for','with'))))::INT AS stop_hits
+    FROM t
+)
+SELECT doc_id, n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+       (alpha_frac >= 0.8) AS ok_alpha_words,
+       (stop_hits >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND alpha_frac >= 0.8 AND stop_hits >= 2) AS passes
+FROM m
+""",
         "quality_scores": """
 WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS ts FROM documents)
 SELECT doc_id,
@@ -993,6 +1048,14 @@ ORDER BY cosine DESC, e.vec_id ASC
 LIMIT 10
 """,
     }
+
+
+# The engine's BPE pre-tokenizer pattern with SQL apostrophe escaping
+# (DuckDB single-quoted strings keep backslashes literal — only the
+# apostrophes need doubling).
+from caterpillar_spark.ops.textstats import BPE_PRETOKEN_PATTERN as _BPE_RAW
+
+_BPE_SQL_PATTERN = _BPE_RAW.replace("'", "''")
 
 
 def _shingle_array_expr(n: int) -> str:

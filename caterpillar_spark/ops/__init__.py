@@ -21,7 +21,9 @@ from caterpillar_spark.ops.multimodal import (
 from caterpillar_spark.ops.textstats import (
     tokens_col,
     token_stats,
+    bpe_token_stats,
     quality_scores,
+    gopher_quality_flags,
     language_id,
     fingerprints,
 )
@@ -44,7 +46,9 @@ from caterpillar_spark.ops.similarity import (
 __all__ = [
     "tokens_col",
     "token_stats",
+    "bpe_token_stats",
     "quality_scores",
+    "gopher_quality_flags",
     "language_id",
     "fingerprints",
     "exact_dedup",

@@ -117,6 +117,91 @@ def language_id(
     )
 
 
+#: GPT-2-style pre-tokenizer regex (public BPE pre-tokenization
+#: pattern, ASCII-portable form): contraction suffixes, space-prefixed
+#: letter runs, digit runs, symbol runs, whitespace runs.  Written
+#: without lookahead so the Java (Spark) and RE2 (DuckDB) engines
+#: match identically.
+BPE_PRETOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+)
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counts under a BPE-ish pre-tokenizer (the unit LLM data
+    budgets are denominated in) next to plain whitespace counts.
+
+    ``bpe_tokens`` counts non-whitespace pre-token matches — an upper
+    bound proxy for BPE token count before merges; ``chars_per_bpe``
+    is the compression-rate signal (low values flag junk/code-like
+    text).  All JVM-side: one ``regexp_extract_all`` per row, no
+    shuffle.
+    """
+    matches = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), 0
+    )
+    non_ws = F.filter(matches, lambda m: m.rlike("\\S"))
+    ws_toks = tokens_col(text_col)
+    n_bpe = F.size(non_ws)
+    return docs.select(
+        F.col(id_col),
+        F.size(ws_toks).alias("ws_tokens"),
+        n_bpe.alias("bpe_tokens"),
+        F.round(
+            F.length(F.col(text_col)) / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("chars_per_bpe"),
+    )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document-quality rule flags (Rae et al. 2021,
+    public filtering heuristics): word-count bounds, mean-word-length
+    bounds, fraction of words containing an alphabetic character, and
+    a minimum number of *distinct* common function words present.
+    Emits one boolean per rule plus the conjunctive ``passes`` — the
+    keep/drop decision a pretraining pipeline applies after dedup.
+    Zero-shuffle narrow map, whole-stage codegen."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / n1
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n1
+    markers = list(LANG_MARKERS["en"])
+    stop_hits = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(markers)))
+    )
+    ok_words = (n >= min_words) & (n <= max_words)
+    ok_len = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_alpha = alpha_frac >= min_alpha_word_frac
+    ok_stop = stop_hits >= min_stop_hits
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_len.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_len & ok_alpha & ok_stop).alias("passes"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

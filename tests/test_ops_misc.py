@@ -174,3 +174,40 @@ def test_near_dup_clusters(spark):
         for r in near_dup_clusters(flipped).collect()
     }
     assert got2 == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_bpe_token_stats_pretokens(spark):
+    """GPT-2-style pre-tokenizer counts on text with contractions,
+    symbols and digits (branches the plain driver corpus never hits)."""
+    from caterpillar_spark.ops import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "I don't like spam!!! 123 times")], "doc_id long, text string"
+    )
+    r = bpe_token_stats(docs).collect()[0]
+    # I | " don" | 't | " like" | " spam" | "!!!" | " 123" | " times"
+    assert r["bpe_tokens"] == 8
+    assert r["ws_tokens"] == 7  # i don t like spam 123 times
+    assert r["chars_per_bpe"] == round(len("I don't like spam!!! 123 times") / 8, 6)
+
+
+def test_gopher_quality_flags(spark):
+    from caterpillar_spark.ops import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, ("the quick brown fox jumps over the lazy dog and runs with "
+                 "great speed into the forest while birds sing ") * 5),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in gopher_quality_flags(docs).collect()}
+    assert r[1]["ok_word_count"] is False and r[1]["passes"] is False
+    assert r[2]["ok_word_count"] is True
+    assert r[2]["ok_alpha_words"] is True
+    assert r[2]["ok_stopwords"] is True
+    assert r[2]["passes"] == (
+        r[2]["ok_word_count"] and r[2]["ok_mean_word_len"]
+        and r[2]["ok_alpha_words"] and r[2]["ok_stopwords"]
+    )
