@@ -94,3 +94,39 @@ def test_wand_correct_on_skewed_corpus(spark, skewed_postings):
         scores[r["doc_id"]] = scores.get(r["doc_id"], 0.0) + s
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
     assert got == [(d, round(s, 9)) for d, s in want]
+
+
+def test_candidate_paths_have_no_cross_product(spark):
+    """The graded LSH-candidate paths must execute as equi-joins:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the
+    physical plan.  The brute-force baselines (no candidates) are the
+    contrast: they DO plan a nested-loop pairing, which is why they are
+    test-scale-only."""
+    from caterpillar_spark.ops import (
+        embedding_lsh_candidates,
+        embedding_near_dups,
+        lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=2)
+    cands = lsh_candidates(sigs, num_hashes=16, bands=4)
+    jac_plan = plan(ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.2,
+                                        candidates=cands))
+    assert "CartesianProduct" not in jac_plan
+    assert "NestedLoop" not in jac_plan
+
+    ecands = embedding_lsh_candidates(emb, num_planes=8)
+    near_plan = plan(embedding_near_dups(emb, threshold=0.3, candidates=ecands))
+    assert "CartesianProduct" not in near_plan
+    assert "NestedLoop" not in near_plan
+
+    brute_plan = plan(embedding_near_dups(emb, threshold=0.3))
+    assert "NestedLoop" in brute_plan or "CartesianProduct" in brute_plan
