@@ -1072,13 +1072,18 @@ def _shingle_array_expr(n: int) -> str:
 
 def _minhash_cands_ctes(shingle_n: int, num_hashes: int = 16, bands: int = 4) -> str:
     """CTE chain ``t, sh, sigs, bands, cand`` — MinHash signatures over
-    word n-shingles banded ``bands`` x ``rows``, the same md5-derived
-    hash family as the engine (ops/dedup.py), so ``cand`` is the exact
-    LSH candidate set."""
+    word n-shingles banded ``bands`` x ``rows``, the same
+    universal-hash family as the engine (ops/dedup.py: one md5 base per
+    shingle, then ``(a_i*base + b_i) mod 2^31-1``), so ``cand`` is the
+    exact LSH candidate set."""
+    from caterpillar_spark.ops.dedup import MERSENNE31, minhash_params
+
     rows_per_band = num_hashes // bands
+    m = MERSENNE31
+    base = f"((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {m})"
     sig_exprs = ",\n           ".join(
-        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS sig_{i}"
-        for i in range(num_hashes)
+        f"min((({a} * {base} + {b}) % {m})) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     band_exprs = []
     for b in range(bands):

@@ -38,6 +38,27 @@ def seeded_hash(col: Column, seed: int) -> Column:
     return md5_long(F.concat(F.lit(str(seed)), F.lit(":"), col))
 
 
+#: Modulus for the MinHash universal-hash family: the Mersenne prime
+#: 2^31 - 1.  Products a*x stay < 2^62, so the arithmetic neither
+#: wraps in Spark (Java long) nor errors in DuckDB (which raises on
+#: BIGINT overflow) — the oracle reproduces every signature exactly.
+MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int):
+    """Deterministic (a_i, b_i) pairs for ``h_i(x) = (a_i*x + b_i) mod
+    (2^31-1)`` — derived from md5 so they are reproducible anywhere."""
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"mh:{i}".encode()).hexdigest()
+        a = int(d[:8], 16) % (MERSENNE31 - 1) + 1
+        b = int(d[8:16], 16) % MERSENNE31
+        params.append((a, b))
+    return params
+
+
 def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (JVM-side).
     Documents shorter than ``n`` tokens yield one whole-document
@@ -93,24 +114,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: columns sig_0..sig_{k-1}.
 
-    Each signature is ``min over shingles of h_i(shingle)`` with
-    ``h_i(s) = md5_long(i + ':' + s)``.
+    Standard universal-hash family: one md5 base hash per shingle,
+    then ``sig_i = min over shingles of (a_i*base + b_i) mod (2^31-1)``
+    — k cheap integer transforms instead of k md5 digests per shingle
+    (the md5 was ~the whole cost of this operator at corpus scale).
+    Parameters come from :func:`minhash_params`, so the DuckDB oracle
+    reproduces every value exactly.
 
-    With ``dedup_shingles`` (default) the k hashes are computed once per
-    *distinct* shingle and min-aggregated back per document — web
+    With ``dedup_shingles`` (default) the base hash is computed once
+    per *distinct* shingle and min-aggregated back per document — web
     corpora repeat shingles heavily (boilerplate), so this trades one
-    partial-aggregated shuffle for a large cut in md5 work.  The
+    partial-aggregated shuffle for a further cut in hashing.  The
     signature values are identical either way; the False path is the
     shuffle-free narrow projection (better for tiny inputs).
     """
+    params = minhash_params(num_hashes)
+    base_of = lambda c: F.pmod(md5_long(c), F.lit(MERSENNE31))
     sh = shingles_col(text_col, shingle_n)
     if not dedup_shingles:
-        out = docs.select(F.col(id_col), sh.alias("_sh"))
+        out = docs.select(
+            F.col(id_col),
+            F.transform(sh, lambda s: base_of(s)).alias("_base"),
+        )
         sigs = [
             F.array_min(
                 F.transform(
-                    F.col("_sh"),
-                    lambda s, i=i: md5_long(F.concat(F.lit(f"{i}:"), s)),
+                    F.col("_base"),
+                    lambda b, p=params[i]: F.pmod(
+                        b * F.lit(p[0]) + F.lit(p[1]), F.lit(MERSENNE31)
+                    ),
                 )
             ).alias(f"sig_{i}")
             for i in range(num_hashes)
@@ -118,12 +150,21 @@ def minhash_signatures(
         return out.select(F.col(id_col), *sigs)
 
     exploded = docs.select(F.col(id_col), F.explode(sh).alias("_shingle"))
-    hashed = exploded.select(F.col("_shingle")).distinct().select(
-        "_shingle",
-        *[
-            md5_long(F.concat(F.lit(f"{i}:"), F.col("_shingle"))).alias(f"h_{i}")
-            for i in range(num_hashes)
-        ],
+    hashed = (
+        exploded.select(F.col("_shingle"))
+        .distinct()
+        # separate projection so the md5 base is evaluated exactly once
+        # per distinct shingle, independent of codegen CSE
+        .select("_shingle", base_of(F.col("_shingle")).alias("_b"))
+        .select(
+            "_shingle",
+            *[
+                F.pmod(
+                    F.col("_b") * F.lit(a) + F.lit(b), F.lit(MERSENNE31)
+                ).alias(f"h_{i}")
+                for i, (a, b) in enumerate(params)
+            ],
+        )
     )
     return (
         exploded.join(hashed, "_shingle")
