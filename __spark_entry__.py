@@ -421,7 +421,9 @@ def q_embedding_near_dups(spark, sf_dir):
     from caterpillar_spark.ops import embedding_lsh_candidates, embedding_near_dups
 
     emb = _embeddings(spark, sf_dir)
-    cands = embedding_lsh_candidates(emb, num_planes=8, probe_hamming=1)
+    cands = embedding_lsh_candidates(
+        emb, num_planes=8, probe_hamming=1, num_tables=4
+    )
     return embedding_near_dups(emb, threshold=0.3, candidates=cands)
 
 
@@ -436,11 +438,14 @@ def q_windowed_events(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
+    """Multi-table multi-probe hyperplane LSH: 8 tables x 8 planes,
+    1-bit probes — recall@10 ~0.7 on the pessimal i.i.d. corpus at
+    ~27% of the table scanned (see ops/similarity.py)."""
     from caterpillar_spark.ops import ann_topk
 
     emb = _embeddings(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ann_topk(emb, qvec, k=10, num_planes=8)
+    return ann_topk(emb, qvec, k=10, num_planes=8, num_tables=8)
 
 
 # --------------------------------------------------------------------------
@@ -989,10 +994,10 @@ ORDER BY cosine DESC, vec_id ASC
 LIMIT {K}
 """,
         "embedding_near_dups": f"""
-WITH {_hyperplane_bucket_ctes(8)},
+WITH {_hyperplane_bucket_ctes(8, num_tables=4)},
 cand AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM buckets a JOIN buckets b ON a.vec_id < b.vec_id
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b ON a.t = b.t AND a.vec_id < b.vec_id
     WHERE len(list_filter(range(1, 9),
               i -> substr(a.bucket, i, 1) <> substr(b.bucket, i, 1))) <= 1
 ),
@@ -1027,11 +1032,11 @@ FROM events
 GROUP BY 1, 2
 """,
         "ann_topk": f"""
-WITH {_hyperplane_bucket_ctes(8)},
-qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+WITH {_hyperplane_bucket_ctes(8, num_tables=8)},
+qb AS (SELECT t, bucket FROM buckets WHERE vec_id = 0),
 cand AS (
-    SELECT b.vec_id
-    FROM buckets b, qb
+    SELECT DISTINCT b.vec_id
+    FROM buckets b JOIN qb ON qb.t = b.t
     WHERE len(list_filter(range(1, 9),
               i -> substr(b.bucket, i, 1) <> substr(qb.bucket, i, 1))) <= 1
 ),
@@ -1118,17 +1123,18 @@ def _minhash_oracle() -> str:
     return f"WITH {_minhash_cands_ctes(3)}\nSELECT id_a, id_b FROM cand"
 
 
-def _hyperplane_bucket_ctes(num_planes: int = 8) -> str:
-    """CTE chain ``dim, planes, vd, dots, buckets`` — per-vector
-    hyperplane-LSH sign-bit bucket strings with the engine's exact
-    md5-derived +-1 plane weights (ops/similarity.py:
-    hyperplane_weights)."""
+def _hyperplane_bucket_ctes(num_planes: int = 8, num_tables: int = 1) -> str:
+    """CTE chain ``dim, planes, vd, dots, buckets`` — per-(vector,
+    table) hyperplane-LSH sign-bit bucket strings with the engine's
+    exact md5-derived +-1 plane weights (ops/similarity.py:
+    hyperplane_weights; plane seed 'plane:{table}:{p}:{d}')."""
     return f"""dim AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
 planes AS (
-    SELECT pp.p AS p, dd.d AS d,
-           CASE WHEN ('0x' || substr(md5('plane:' || pp.p::VARCHAR || ':' || dd.d::VARCHAR), 1, 2))::INT & 1 = 1
+    SELECT tt.t AS t, pp.p AS p, dd.d AS d,
+           CASE WHEN ('0x' || substr(md5('plane:' || tt.t::VARCHAR || ':' || pp.p::VARCHAR || ':' || dd.d::VARCHAR), 1, 2))::INT & 1 = 1
                 THEN 1.0 ELSE -1.0 END AS w
-    FROM (SELECT unnest(range({num_planes})) AS p) pp
+    FROM (SELECT unnest(range({num_tables})) AS t) tt
+    CROSS JOIN (SELECT unnest(range({num_planes})) AS p) pp
     CROSS JOIN (SELECT unnest(range((SELECT dim FROM dim))) AS d) dd
 ),
 vd AS (
@@ -1137,12 +1143,12 @@ vd AS (
     FROM embeddings
 ),
 dots AS (
-    SELECT vd.vec_id, pl.p, sum(vd.x * pl.w) AS s
+    SELECT vd.vec_id, pl.t, pl.p, sum(vd.x * pl.w) AS s
     FROM vd JOIN planes pl ON vd.d = pl.d
-    GROUP BY vd.vec_id, pl.p
+    GROUP BY vd.vec_id, pl.t, pl.p
 ),
 buckets AS (
-    SELECT vec_id,
+    SELECT vec_id, t,
            string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-    FROM dots GROUP BY vec_id
+    FROM dots GROUP BY vec_id, t
 )"""

