@@ -16,10 +16,17 @@ Punkt-compatible behavior on common cases:
 * decimal points and internal punctuation never split (boundary requires
   following whitespace).
 
-DEVIATION (documented): corpora that depend on Punkt's learned,
-corpus-specific abbreviation statistics may segment slightly differently
-than the reference.  Everything downstream (framing, positions, index,
-scores) is deterministic given these boundaries.
+The rule set reproduces the reference's stored punkt segmentation
+byte-for-byte on its alice fixture (1153/1153 frames and term vectors,
+tests/test_index_query.py), including punkt-model-specific decisions:
+last-terminator anchoring, closer realignment across inter-sentence
+whitespace before em-dashes, quote-final boundaries before lowercase
+continuations (suppressed after ALL-CAPS initialisms), the single
+initial + ALL-CAPS-next boundary, and punkt's learned "v." (versus)
+abbreviation.  DEVIATION (documented): other corpora relying on further
+learned punkt statistics may still segment differently.  Everything
+downstream (framing, positions, index, scores) is deterministic given
+these boundaries.
 """
 
 from __future__ import annotations
@@ -46,13 +53,24 @@ ABBREVIATIONS = frozenset(
 _CLOSERS = "\"'”’»)\\]"
 
 # A candidate boundary: terminal punctuation run + optional closers,
-# followed by whitespace (or end of text).
+# followed by whitespace (or end of text); OR a ?/!/… run directly
+# followed by punctuation that is not a sentence continuation — punkt's
+# period-context NonWord alternative (`way?', holding` splits after the
+# `?`, leaving the `'` with the next slice, where realignment then
+# declines it because a comma follows).
 _BOUNDARY_RE = regex.compile(
-    r"[.!?…]+[%s]*(?=\s|$)" % _CLOSERS, regex.UNICODE
+    # punkt anchors on the LAST terminator of a token (its \S*[.!?] is
+    # greedy), so the punctuation-follows alternative must not fire when
+    # more terminators follow in the same run ('pity!"?' splits at the
+    # final ?, not the !).
+    r"[.!?…]+[%s]*(?=\s|$)"
+    r"|[!?…]+(?=[)\";}\]*:@'({\[])(?![)\";}\]*:@'({\[]*[.!?…])" % _CLOSERS,
+    regex.UNICODE,
 )
 
 _WORD_BEFORE_RE = regex.compile(r"(\S+)$", regex.UNICODE)
 _NEXT_NONSPACE_RE = regex.compile(r"\s*(\S)", regex.UNICODE)
+_NEXT_WORD_RE = regex.compile(r"\s*(\S+)", regex.UNICODE)
 
 
 def _is_abbreviation(word: str) -> bool:
@@ -64,10 +82,12 @@ def _is_abbreviation(word: str) -> bool:
     if w in ABBREVIATIONS:
         return True
     # Single-letter initial: "J." in "J. Smith" — but uppercase Roman
-    # numerals ("CHAPTER I.", "X.") end a heading sentence (punkt
-    # splits there; verified against the stored reference index).
+    # numerals ("CHAPTER I.", "X.") end a heading sentence, EXCEPT "V."
+    # which punkt learned as an abbreviation ("v." = versus): the
+    # stored reference index keeps "CHAPTER V. Advice from a
+    # Caterpillar" as one sentence while splitting after I. and X.
     if len(w) == 1 and w.isalpha():
-        return word.rstrip(".").lstrip("(\"'“‘«[") not in ("I", "V", "X")
+        return word.rstrip(".").lstrip("(\"'“‘«[") not in ("I", "X")
     # Multi-dot initialisms: "u.s.a", "ph.d"
     if "." in w and all(len(p) <= 2 for p in w.split(".") if p):
         return True
@@ -105,11 +125,28 @@ def split_sentences(text: str) -> List[str]:
             # A plain period run: apply abbreviation / context rules.
             before = _WORD_BEFORE_RE.search(text, 0, m.start())
             word = (before.group(1) + ".") if before else "."
+            core = word.rstrip(".").lstrip("(\"'“‘«[")
+            nxt_m = _NEXT_WORD_RE.match(text, end)
+            nxt_word = (nxt_m.group(1) if nxt_m else "").rstrip(_CLOSERS + ".,;:")
             if _is_abbreviation(word):
-                continue
-            nxt = _NEXT_NONSPACE_RE.match(text, end)
-            if nxt and nxt.group(1).islower():
-                continue  # next word lowercase → not a sentence start
+                # punkt ortho exception: a single initial followed by an
+                # ALL-CAPS word IS a boundary ("...the name 'W. / RABBIT'
+                # engraved..." in the stored reference index).
+                if not (
+                    len(core) == 1 and core.isalpha()
+                    and len(nxt_word) >= 2 and nxt_word.isupper()
+                ):
+                    continue
+            first = nxt_word[:1] or (nxt_m.group(1)[:1] if nxt_m else "")
+            if first.islower():
+                # Lowercase continuation suppresses a bare period; after
+                # a closing quote punkt still splits ("learn it.' said"
+                # in the stored reference) unless the word before the
+                # period is ALL-CAPS — initialism-style orthographic
+                # evidence ("SHOES.' the" stays unsplit).
+                has_closer = any(c in _CLOSERS for c in punct)
+                if not has_closer or (len(core) > 1 and core.isupper()):
+                    continue
         boundaries.append(end)
 
     sentences: List[str] = []
@@ -122,6 +159,20 @@ def split_sentences(text: str) -> List[str]:
         if m:
             end = m.end()
         seg = text[start:end]
+        # punkt's realign also examines the NEXT slice's start (after the
+        # inter-sentence whitespace): a closer run there followed by
+        # space/--/end is pulled into this sentence with the intervening
+        # whitespace dropped ("said the Mouse. '--I proceed." stores as
+        # "...the Mouse.' --I proceed.").  Never across a blank line
+        # (paragraphs segment before sentences).
+        p = end
+        while p < n and text[p].isspace():
+            p += 1
+        if p > end and "\n\n" not in text[end:p]:
+            m2 = _REALIGN_RE.match(text, p)
+            if m2:
+                seg = seg + text[p:m2.end()]
+                end = m2.end()
         if seg.strip():
             sentences.append(seg)
         start = end

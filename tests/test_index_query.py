@@ -2,11 +2,10 @@
 
 Golden counts ported from the reference suite
 (processing/test/test_index_search.py:383-427, test_index.py:52-61),
-run on the reference's public-domain alice corpus.  Two counts deviate
-by one frame from the reference due to the documented Punkt-replacement
-sentence splitter (see analysis/sentence.py): frames-per-doc 51 vs 52
-and Alice∧(thought∨little) 70 vs 69.  The other seven goldens are
-reference-exact.
+run on the reference's public-domain alice corpus.  All goldens are
+reference-exact: the rule-based Punkt replacement (analysis/sentence.py)
+reproduces the stored reference index's segmentation byte-for-byte on
+this corpus (1153/1153 frames).
 """
 
 import os
@@ -76,8 +75,7 @@ class TestAliceGoldens:
         assert self.n(alice_index, should=["voice"]) == 46
 
     def test_term_variants(self, alice_index):
-        # 70 vs reference 69: one frame grouping differs (sentence split).
-        assert self.n(alice_index, must=["Alice", ("thought", "little")]) == 70
+        assert self.n(alice_index, must=["Alice", ("thought", "little")]) == 69
 
     def test_at_least_n(self, alice_index):
         n2 = self.n(alice_index, at_least_n=(2, ["King", "Queen", "voice"]))
@@ -150,8 +148,7 @@ def test_alice_frame_and_vocab_counts(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text=text)])
     frames = build_frames(docs, analyser=TestAnalyser(), frame_size=2)
     posts = frames_to_postings(frames)
-    # 51 vs reference 52: documented sentence-splitter deviation.
-    assert frames.count() == 51
+    assert frames.count() == 52  # reference-exact (test_index.py:52-61)
     assert posts.select("term").distinct().count() == 500
     assert posts.where(F.col("term") == "Alice").count() == 23
 
@@ -334,9 +331,9 @@ def test_find_bi_gram_words_wikileaks(spark):
 def test_frame_text_byte_identity_vs_stored_reference_index(spark):
     """input_hint per-row invariant against the reference's OWN stored
     output: the v0.10.0 fixture index carries the punkt-derived frame
-    text for alice.txt.  >=99% of frames must be byte-identical after
-    sequence alignment (the remainder are six documented punkt-specific
-    boundary decisions; see analysis/sentence.py DEVIATION note)."""
+    text for alice.txt.  Every frame must be byte-identical (the six
+    punkt-specific boundary decisions are reproduced by the rules in
+    analysis/sentence.py)."""
     import difflib
     import json
     import sqlite3
@@ -362,17 +359,15 @@ def test_frame_text_byte_identity_vs_stored_reference_index(spark):
         i2 - i1 for tag, i1, i2, _, _ in sm.get_opcodes() if tag == "equal"
     )
     assert len(ref) == 1153
-    assert identical >= 1140
-    assert identical / len(ref) >= 0.99
+    assert identical == 1153
 
 
 @needs_ref
 def test_term_vectors_identical_vs_stored_reference_postings(spark):
-    """Deepest parity check: for text-aligned frames, our per-frame
-    term->frequency vectors must equal the reference's STORED postings
-    (term_posting ⋈ vocabulary in the v0.10.0 fixture).  1140/1142
-    aligned frames are exactly identical (one residual
-    heading-tokenization edge case)."""
+    """Deepest parity check: our per-frame term->frequency vectors
+    must equal the reference's STORED postings (term_posting ⋈
+    vocabulary in the v0.10.0 fixture) on every one of the 1153
+    text-aligned frames."""
     import difflib
     import json
     import sqlite3
@@ -417,8 +412,8 @@ def test_term_vectors_identical_vs_stored_reference_postings(spark):
             tot += 1
             if ref_post.get(fid, {}) == ours[j1 + off][1]:
                 same += 1
-    assert tot >= 1140
-    assert same >= tot - 1
+    assert tot == 1153
+    assert same == 1153
 
 
 def test_bm25_doc_matches_wand_on_multiframe_corpus(spark):
