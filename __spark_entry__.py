@@ -770,12 +770,13 @@ SELECT term_a, term_b, n_frames FROM (
         "significant_bigrams": f"""
 WITH {_TOK},
 pairs AS (
+    -- reference semantics: STRICT > min_count (sqlite.py:1612)
     SELECT a.term AS term_a, b.term AS term_b,
            count(DISTINCT a.doc_id)::BIGINT AS n_frames
     FROM tok a
     JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
     GROUP BY a.term, b.term
-    HAVING count(DISTINCT a.doc_id) >= 2
+    HAVING count(DISTINCT a.doc_id) > 2
 ),
 vocab AS (SELECT count(*)::DOUBLE AS v FROM stats)
 SELECT p.term_a, p.term_b, p.n_frames,

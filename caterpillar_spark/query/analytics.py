@@ -48,10 +48,20 @@ def associations(
     return out.where(F.col("n_frames") >= min_count)
 
 
-def adjacent_pairs(postings: DataFrame) -> DataFrame:
+def adjacent_pairs(postings: DataFrame, position_cap: int = None) -> DataFrame:
     """Frame-level counts of positionally adjacent term pairs
     (term_a at position p, term_b at p+1) via a postings self-join on
-    the frame key + an ``exists`` adjacency test over exact positions."""
+    the frame key + an ``exists`` adjacency test over exact positions.
+
+    ``position_cap`` reproduces the reference's 63-bit position-bitmap
+    storage limit: postings whose max position exceeds the cap are
+    marked approximate there (sign bit) and EXCLUDED from bigram
+    matching (sqlite.py:1605-1609; BASELINE.md fidelity-limit row).
+    Pass 62 for reference-exact counts; the default (no cap) uses the
+    full exact positions — strictly more informative at web scale,
+    where 2-sentence frames routinely exceed 62 tokens."""
+    if position_cap is not None:
+        postings = postings.where(F.array_max("positions") <= position_cap)
     a = postings.select(
         "doc_id", "frame_seq", F.col("term").alias("term_a"),
         F.col("positions").alias("pos_a"),
@@ -76,17 +86,27 @@ def significant_bigrams(
     postings: DataFrame,
     min_count: int = 5,
     threshold: float = 40.0,
+    position_cap: int = None,
 ) -> DataFrame:
     """Mikolov/Gensim-style significant-bigram discovery
-    (reference sqlite.py:1554-1636):
+    (reference ``detect_significant_ngrams`` / sqlite.py:1554-1636):
 
     ``score(a,b) = n_frames(a,b) * vocab_size / (ff(a) * ff(b))``
-    where ff is frame frequency; pairs must appear in at least
-    ``min_count`` frames and score above ``threshold``.
+    where ff is frame frequency; reference comparison semantics are
+    STRICT: pairs must appear in MORE than ``min_count`` frames
+    (``having bigram_count > ?``) and score strictly above
+    ``threshold``.  With ``position_cap=62`` the counts reproduce the
+    reference's bitmap-limited matching exactly (employee-survey golden
+    = 16 bigrams incl. 'pay rise', tests/test_index_query.py).
     """
-    pair_counts = adjacent_pairs(postings).where(F.col("n_frames") >= min_count)
+    pair_counts = adjacent_pairs(postings, position_cap=position_cap).where(
+        F.col("n_frames") > min_count
+    )
     unigram = postings.groupBy("term").agg(F.count(F.lit(1)).alias("ff"))
     vocab_size = unigram.count()
+    raw = F.col("n_frames") * F.lit(float(vocab_size)) / (
+        F.col("ff_a") * F.col("ff_b")
+    )
     return (
         pair_counts.join(
             unigram.withColumnRenamed("term", "term_a").withColumnRenamed("ff", "ff_a"),
@@ -96,17 +116,13 @@ def significant_bigrams(
             unigram.withColumnRenamed("term", "term_b").withColumnRenamed("ff", "ff_b"),
             "term_b",
         )
+        .where(raw > threshold)
         .select(
             "term_a",
             "term_b",
             "n_frames",
-            F.round(
-                F.col("n_frames") * F.lit(float(vocab_size))
-                / (F.col("ff_a") * F.col("ff_b")),
-                6,
-            ).alias("significance"),
+            F.round(raw, 6).alias("significance"),
         )
-        .where(F.col("significance") > threshold)
     )
 
 

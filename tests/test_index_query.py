@@ -450,3 +450,97 @@ def test_bm25_doc_matches_wand_on_multiframe_corpus(spark):
     with pytest.raises(ValueError, match="bm25_doc"):
         search(idx, k=5, unit="frame", should=terms, scorer="bm25_doc").collect()
     frames.unpersist()
+
+
+@needs_ref
+def test_employee_survey_bigram_goldens(spark):
+    """Reference goldens (test_index.py:422-433), REFERENCE-EXACT on the
+    government-employee-survey corpus: find_bi_gram_words discovers 7
+    bigrams; detect_significant_ngrams(min_count=5, threshold=40) with
+    the reference's strict comparisons and 63-bit position cap yields
+    exactly 16 pairs including ('pay', 'rise')."""
+    from caterpillar_spark.query.analytics import (
+        find_bi_gram_words,
+        significant_bigrams,
+    )
+
+    with open(
+        os.path.join(REF_RESOURCES, "government-emplyee-survey-PC.txt")
+    ) as f:
+        text = f.read()
+    frames = build_frames(
+        spark.createDataFrame([Row(doc_id=1, text=text)]), frame_size=2
+    ).cache()
+    assert find_bi_gram_words(frames).count() == 7
+
+    sig = significant_bigrams(
+        frames_to_postings(frames), min_count=5, threshold=40, position_cap=62
+    ).collect()
+    names = {(r["term_a"], r["term_b"]) for r in sig}
+    assert len(names) == 16
+    assert ("pay", "rise") in names
+    frames.unpersist()
+
+
+@needs_ref
+def test_moby_small_goldens(spark):
+    """Reference goldens (test_index.py:350-361), REFERENCE-EXACT:
+    moby_small with the test analyser has a 38-term vocabulary and one
+    posting each for the compound name 'Mr. Chace' and the all-caps
+    'CONVERSATIONS'."""
+    with open(os.path.join(REF_RESOURCES, "moby_small.txt")) as f:
+        text = f.read()
+    posts = frames_to_postings(
+        build_frames(
+            spark.createDataFrame([Row(doc_id=1, text=text)]),
+            analyser=TestAnalyser(), frame_size=2,
+        )
+    ).cache()
+    assert posts.select("term").distinct().count() == 38
+    assert posts.where(F.col("term") == "Mr. Chace").count() == 1
+    assert posts.where(F.col("term") == "CONVERSATIONS").count() == 1
+    posts.unpersist()
+
+
+@needs_ref
+def test_mt_warning_number_tokens(spark):
+    """Reference goldens (test_index_search.py:543-556),
+    REFERENCE-EXACT: decimal/comma numbers tokenize whole — '1770' in 2
+    frames, '1,900' and '4.4' in 1 each."""
+    with open(os.path.join(REF_RESOURCES, "mt_warning_utf8.txt")) as f:
+        text = f.read()
+    idx = MemoryIndex(
+        build_frames(
+            spark.createDataFrame([Row(doc_id=1, text=text)]),
+            analyser=TestAnalyser(), frame_size=2,
+        ).cache()
+    )
+    assert filter_frames(idx, should=["1770"]).count() == 2
+    assert filter_frames(idx, should=["1,900"]).count() == 1
+    assert filter_frames(idx, should=["4.4"]).count() == 1
+    idx.frames.unpersist()
+
+
+@needs_ref
+def test_twitter_handles_and_metadata(spark):
+    """Reference goldens (test_index_search.py:558-578),
+    REFERENCE-EXACT: '@'-handles and emails survive tokenization whole;
+    the sentiment metadata partition covers every frame."""
+    import csv as _csv
+
+    with open(os.path.join(REF_RESOURCES, "twitter_sentiment.csv")) as f:
+        rows = list(_csv.reader(f))[1:]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, sentiment=r[0], text=r[1]) for i, r in enumerate(rows)]
+    )
+    frames = build_frames(
+        docs, analyser=TestAnalyser(), frame_size=2,
+        metadata_cols=["sentiment"],
+    ).cache()
+    idx = MemoryIndex(frames)
+    assert filter_frames(idx, should=["@NYSenate"]).count() == 1
+    assert filter_frames(idx, should=["summerdays@gmail.com"]).count() == 1
+    pos = filter_metadata(frames, {"sentiment": {"=": "positive"}}).count()
+    neg = filter_metadata(frames, {"sentiment": {"=": "negative"}}).count()
+    assert pos + neg == frames.count()
+    frames.unpersist()
