@@ -272,11 +272,19 @@ def filter_frames(
 ) -> DataFrame:
     """Boolean retrieval returning all qualifying units with scores.
 
-    Result columns: ``doc_id`` (+ ``frame_seq`` when unit='frame'),
-    ``score``.  Use :func:`search` for ranked top-k.
+    Result columns: ``doc_id`` (+ ``field``, ``frame_seq`` when
+    unit='frame'), ``score``.  Use :func:`search` for ranked top-k.
     """
     if not (must or should or at_least_n):
         raise ValueError("need at least one positive term (must/should/at_least_n)")
+    if schema is not None:
+        from caterpillar_spark.schema import UnknownFieldError
+
+        for fname in [*(include_fields or ()), *(exclude_fields or ())]:
+            if fname not in schema:
+                raise UnknownFieldError(
+                    f"{fname!r} is not defined on this index"
+                )
     spark = index.frames.sparkSession if isinstance(index, MemoryIndex) else index.spark
 
     rows = _groups(must, should, at_least_n or None, must_not)
@@ -286,9 +294,11 @@ def filter_frames(
     if all(weights[t] == 0.0 for t, _, kind in rows if kind != "exclude"):
         # Early exit: no positive term exists in the index
         # (reference sqlite.py:1340-1345).
-        schema = "doc_id long, frame_seq int, score double" if unit == "frame" \
-            else "doc_id long, score double"
-        return spark.createDataFrame([], schema)
+        empty_schema = (
+            "doc_id long, field string, frame_seq int, score double"
+            if unit == "frame" else "doc_id long, score double"
+        )
+        return spark.createDataFrame([], empty_schema)
 
     qdf = spark.createDataFrame(
         [(t, g, kind, float(weights[t])) for t, g, kind in rows],
@@ -347,7 +357,11 @@ def filter_frames(
     else:
         contrib = F.col("freq") * F.col("weight")
 
-    keys = ["doc_id"] if unit == "document" else ["doc_id", "frame_seq"]
+    # Frame identity is (doc_id, field, frame_seq): frame ordinals are
+    # per-(doc, field), so a multi-field index must not conflate the
+    # same-numbered frames of different fields (reference frame ids are
+    # globally unique; tests/test_index_query.py multi-field invariants).
+    keys = ["doc_id"] if unit == "document" else ["doc_id", "field", "frame_seq"]
     n_must = len(set(g for _, g, kind in rows if kind == "must"))
 
     agg = joined.groupBy(*keys).agg(
@@ -385,7 +399,7 @@ def search(
     strictly after it in rank order (reference sqlite.py:1446-1453).
     """
     res = filter_frames(index, unit=unit, **kwargs)
-    keys = ["doc_id"] if unit == "document" else ["doc_id", "frame_seq"]
+    keys = ["doc_id"] if unit == "document" else ["doc_id", "field", "frame_seq"]
     if pagination:
         last_score, last_ids = pagination
         tail = F.lit(False)

@@ -120,7 +120,9 @@ class TestAliceGoldens:
             alice_index,
             k=13,
             should=["King", "Queen"],
-            pagination=(last["score"], (last["doc_id"], last["frame_seq"])),
+            pagination=(
+                last["score"], (last["doc_id"], last["field"], last["frame_seq"])
+            ),
         ).collect()
         assert full[7:] == rest
 
@@ -543,4 +545,64 @@ def test_twitter_handles_and_metadata(spark):
     pos = filter_metadata(frames, {"sentiment": {"=": "positive"}}).count()
     neg = filter_metadata(frames, {"sentiment": {"=": "negative"}}).count()
     assert pos + neg == frames.count()
+    frames.unpersist()
+
+
+@needs_ref
+def test_multifield_boolean_invariants(spark):
+    """Reference multi-field query-algebra invariants
+    (test_index_search.py:238-316): boolean counts compose over a
+    two-TEXT-field index; frame identity is per-(doc, field), so the
+    same query over the two fields intersects empty; unknown scoped
+    fields are rejected with the schema present."""
+    from caterpillar_spark.query.composition import from_scored
+    from caterpillar_spark.schema import Schema, TEXT, UnknownFieldError
+
+    with open(os.path.join(REF_RESOURCES, "alice.txt")) as f:
+        text = f.read()
+    docs = spark.createDataFrame([Row(doc_id=1, text1=text, text2=text)])
+    frames = build_frames(
+        docs, text_cols=["text1", "text2"], analyser=TestAnalyser(),
+        frame_size=2,
+    ).cache()
+    idx = MemoryIndex(frames)
+    f1 = {"include_fields": ["text1"]}
+
+    alice = filter_frames(idx, must=["Alice"], **f1).count()
+    king = filter_frames(idx, must=["King"], **f1).count()
+    assert alice > 0 and king > 0
+    both = filter_frames(idx, must=["King", "Alice"], **f1).count()
+    either = filter_frames(idx, should=["King", "Alice"], **f1).count()
+    a_not_k = filter_frames(idx, must=["Alice"], must_not=["King"], **f1).count()
+    k_not_a = filter_frames(idx, must=["King"], must_not=["Alice"], **f1).count()
+    assert a_not_k == alice - both
+    assert k_not_a == king - both
+    assert either == a_not_k + k_not_a + both
+
+    # at_least_n relations (missing terms contribute nothing)
+    assert filter_frames(idx, at_least_n=(2, ["King", "Alice"]), **f1).count() == both
+    assert filter_frames(
+        idx, at_least_n=(2, ["King", "Alice", "zzzznope"]), **f1
+    ).count() == both
+    assert filter_frames(idx, at_least_n=(1, ["King", "Alice"]), **f1).count() == either
+
+    # same content in both fields: per-field counts double field-scoped ones
+    assert filter_frames(idx, must=["King", "Alice"]).count() == 2 * both
+
+    # frame identity is (doc, field, frame_seq): the two fields' result
+    # sets are disjoint, their union is the unscoped result
+    r1 = from_scored(filter_frames(idx, must=["King", "Alice"], include_fields=["text1"]))
+    r2 = from_scored(filter_frames(idx, must=["King", "Alice"], include_fields=["text2"]))
+    from caterpillar_spark.query import match_all, match_any
+
+    assert match_all(r1, r2).count() == 0
+    assert match_any(r1, r2).count() == 2 * both
+
+    # unknown scoped field rejected when a schema is declared
+    sch = Schema(text1=TEXT, text2=TEXT)
+    with pytest.raises(UnknownFieldError):
+        filter_frames(idx, must=["Alice"], include_fields=["nope"], schema=sch)
+
+    # document retrieval: one document holds everything
+    assert filter_frames(idx, must=["Alice"], unit="document", **f1).count() == 1
     frames.unpersist()
