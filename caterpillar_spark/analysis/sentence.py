@@ -138,15 +138,15 @@ def split_sentences(text: str) -> List[str]:
                 ):
                     continue
             first = nxt_word[:1] or (nxt_m.group(1)[:1] if nxt_m else "")
-            if first.islower():
-                # Lowercase continuation suppresses a bare period; after
-                # a closing quote punkt still splits ("learn it.' said"
-                # in the stored reference) unless the word before the
-                # period is ALL-CAPS — initialism-style orthographic
-                # evidence ("SHOES.' the" stays unsplit).
-                has_closer = any(c in _CLOSERS for c in punct)
-                if not has_closer or (len(core) > 1 and core.isupper()):
-                    continue
+            if first.islower() and len(core) > 1 and core.isupper():
+                # ALL-CAPS word + period + lowercase continuation:
+                # initialism-style orthographic evidence, punkt does not
+                # break ("SHOES.' the" stays unsplit in the stored
+                # reference).  Otherwise a non-abbreviation period IS a
+                # sentence break regardless of the following case —
+                # punkt has no lowercase-next suppression ("anything.
+                # forgot" splits; big.csv Otago golden).
+                continue
         boundaries.append(end)
 
     sentences: List[str] = []

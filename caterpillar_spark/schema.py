@@ -164,7 +164,13 @@ class NUMERIC(FieldType):
             raise
 
     def normalize_col(self, col: Column) -> Column:
-        return col.cast("double" if self.num_type is float else "long")
+        # try_cast: malformed/empty values become NULL (then the default)
+        # instead of an ANSI-mode cast error — mirrors analyse_value's
+        # empty -> default_value behavior (reference schema.py:145-152).
+        out = col.try_cast("double" if self.num_type is float else "long")
+        if self.default_value is not None:
+            out = F.coalesce(out, F.lit(self.default_value))
+        return out
 
 
 class BOOLEAN(FieldType):

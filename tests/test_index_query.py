@@ -606,3 +606,87 @@ def test_multifield_boolean_invariants(spark):
     # document retrieval: one document holds everything
     assert filter_frames(idx, must=["Alice"], unit="document", **f1).count() == 1
     frames.unpersist()
+
+
+@needs_ref
+def test_nps_csv_schema_search_goldens(spark):
+    """Reference goldens over big.csv (test_index_search.py:22-120),
+    a 7-field declared schema (3 TEXT + categorical + numeric),
+    schema-normalized ingest, field-scoped term search and
+    metadata-only filtering.  Empty TEXT values produce no frames (the
+    dannevirke golden pins that), and punkt splits non-abbreviation
+    periods even before lowercase continuations (the Otago golden pins
+    that)."""
+    import csv as _csv
+
+    from caterpillar_spark.schema import (
+        CATEGORICAL_TEXT,
+        NUMERIC,
+        Schema,
+        TEXT,
+        normalize_metadata_columns,
+    )
+
+    with open(
+        os.path.join(REF_RESOURCES, "big.csv"), encoding="utf-8", errors="replace"
+    ) as f:
+        rows = list(_csv.reader(f))[1:]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, respondant=r[0], region=r[1], store=r[2],
+                liked=r[3], disliked=r[4], would_like=r[5], nps=r[6])
+            for i, r in enumerate(rows)
+        ]
+    )
+    sch = Schema(
+        liked=TEXT(), disliked=TEXT(), would_like=TEXT(),
+        region=CATEGORICAL_TEXT(indexed=True),
+        store=CATEGORICAL_TEXT(indexed=True),
+        nps=NUMERIC(indexed=True), respondant=NUMERIC(),
+    )
+    docs = normalize_metadata_columns(docs, sch)
+    frames = build_frames(
+        docs, text_cols=["liked", "disliked", "would_like"],
+        analyser=TestAnalyser(), frame_size=2,
+        metadata_cols=["region", "store", "nps"],
+    ).cache()
+    idx = MemoryIndex(frames)
+
+    assert filter_frames(
+        idx, should=["point", "pointed", "points"], include_fields=["would_like"]
+    ).count() == 14
+
+    otago = {"region": {"=": "Otago"}, "nps": {"<": 5}}
+    hits = filter_metadata(frames, otago, schema=sch).cache()
+    assert hits.count() == 15  # REFERENCE-EXACT
+    assert hits.select("doc_id").distinct().count() == 5
+    assert sum(
+        hits.where(F.col("field") == f).count()
+        for f in ("liked", "disliked", "would_like")
+    ) == 15
+
+    dann = {"nps": {"=": 10}, "store": {"=": "DANNEVIRKE"}}
+    d = filter_metadata(frames, dann, schema=sch)
+    assert d.count() == 6 == sum(
+        d.where(F.col("field") == f).count()
+        for f in ("liked", "disliked", "would_like")
+    )
+
+    chch_all = filter_metadata(
+        frames, {"region": {"=": "Christchurch"}}, schema=sch
+    ).where(F.col("field") == "liked").count()
+    chch_pos = filter_metadata(
+        frames, {"region": {"=": "Christchurch"}, "nps": {">": 0}}, schema=sch
+    ).where(F.col("field") == "liked").count()
+    assert chch_pos < chch_all
+
+    # nps range partition: >=i and <i cover exactly the non-null >0 base
+    total = filter_metadata(frames, {"nps": {">": 0}}, schema=sch).count()
+    for i in (1, 5, 10):
+        assert (
+            filter_metadata(frames, {"nps": {">=": i}}, schema=sch).count()
+            + filter_metadata(frames, {"nps": {"<": i}}, schema=sch).count()
+            == total
+        )
+    hits.unpersist()
+    frames.unpersist()
