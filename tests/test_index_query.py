@@ -690,3 +690,104 @@ def test_nps_csv_schema_search_goldens(spark):
         )
     hits.unpersist()
     frames.unpersist()
+
+
+def test_reader_query_advanced_metadata_composition(spark):
+    """Reference advanced metadata/composition invariants
+    (test_index_search.py:317-381), REFERENCE-EXACT counts: numeric and
+    categorical metadata scoped per field and across fields, composed
+    with exclude; the metadata inversion agrees with the scoped counts;
+    non-indexed fields are rejected."""
+    from caterpillar_spark.query.vectors import metadata_inversion
+    from caterpillar_spark.schema import (
+        CATEGORICAL_TEXT,
+        NUMERIC,
+        NonIndexedFieldError,
+        Schema,
+        TEXT,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, liked="product", disliked="service", age=20,
+                gender="male", non_indexed="x"),
+            Row(doc_id=2, liked="service", disliked="product", age=30,
+                gender="male", non_indexed="x"),
+            Row(doc_id=3, liked="service", disliked="price", age=40,
+                gender="female", non_indexed="x"),
+            Row(doc_id=4, liked="product", disliked="product", age=80,
+                gender="female", non_indexed="x"),
+        ]
+    )
+    sch = Schema(
+        liked=TEXT, disliked=TEXT, age=NUMERIC(indexed=True),
+        gender=CATEGORICAL_TEXT(indexed=True),
+        non_indexed=CATEGORICAL_TEXT(indexed=False),
+    )
+    frames = build_frames(
+        docs, text_cols=["liked", "disliked"], frame_size=2,
+        metadata_cols=["age", "gender"],
+    ).cache()
+    idx = MemoryIndex(frames)
+
+    def meta_n(metadata, field=None):
+        out = filter_metadata(frames, metadata, schema=sch)
+        if field:
+            out = out.where(F.col("field") == field)
+        return out.count()
+
+    def rs(df):
+        return from_scored(
+            df.select("doc_id", "field", "frame_seq", F.lit(0.0).alias("score"))
+        )
+
+    for fld in ("liked", "disliked"):
+        assert meta_n({"age": {"=": 80}}, fld) == 1
+        assert meta_n({"age": {"<": 80}}, fld) == 3
+        assert meta_n({"age": {">=": 20}}, fld) == 4
+        assert filter_frames(
+            idx, must=["product"], metadata={"gender": {"=": "female"}},
+            include_fields=[fld], schema=sch,
+        ).count() == 1
+        product = rs(
+            filter_frames(idx, must=["product"], include_fields=[fld])
+            .select("doc_id", "field", "frame_seq",
+                    F.lit(0.0).alias("score"))
+        )
+        male = rs(filter_metadata(frames, {"gender": {"=": "male"}}, schema=sch)
+                  .where(F.col("field") == fld))
+        both = rs(filter_metadata(
+            frames, {"gender": {"in": ("female", "male")}}, schema=sch
+        ).where(F.col("field") == fld))
+        assert exclude(product, male).count() == 1
+        assert exclude(product, both).count() == 0
+
+    # both fields
+    assert meta_n({"age": {"=": 80}}) == 2
+    assert meta_n({"age": {"<": 80}}) == 6
+    assert meta_n({"age": {">=": 20}}) == 8
+    assert filter_frames(
+        idx, must=["product"], metadata={"gender": {"=": "female"}}, schema=sch
+    ).count() == 2
+    product = rs(
+        filter_frames(idx, must=["product"])
+        .select("doc_id", "field", "frame_seq", F.lit(0.0).alias("score"))
+    )
+    male = rs(filter_metadata(frames, {"gender": {"=": "male"}}, schema=sch))
+    both = rs(filter_metadata(
+        frames, {"gender": {"in": ("female", "male")}}, schema=sch
+    ))
+    assert product.count() == 4
+    assert exclude(product, male).count() == 2
+    assert exclude(product, both).count() == 0
+
+    # metadata inversion agrees with the scoped result (get_metadata)
+    inv = {
+        (r["field"], r["value"]): r["n"]
+        for r in metadata_inversion(frames, ["gender"], unit="frame").collect()
+    }
+    assert inv[("gender", "male")] == male.count()
+
+    with pytest.raises(NonIndexedFieldError):
+        filter_metadata(frames, {"non_indexed": {"=": "x"}}, schema=sch)
+    frames.unpersist()
