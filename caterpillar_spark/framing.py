@@ -22,7 +22,8 @@ Differences from the reference (deliberate, documented):
   counter, index.py:394+451); we store the real frame ordinal since
   distributed ordering must be explicit.
 * Sentence segmentation is rule-based (see analysis/sentence.py) since
-  NLTK Punkt is unavailable.
+  NLTK Punkt is unavailable — byte-exact vs the reference's stored
+  punkt output on its alice fixture (1153/1153 frames and vectors).
 
 Scale notes: the whole transformation is embarrassingly parallel (one
 ``mapInPandas`` pass, no shuffle); Arrow batches keep the Python work
