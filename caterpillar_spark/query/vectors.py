@@ -52,57 +52,120 @@ def vocabulary(postings: DataFrame) -> DataFrame:
     terms small ids for locality; here the ordering is informational —
     locality comes from the block layout instead.
 
-    Dense-id assignment is ``zipWithIndex`` over a *range-partitioned*
-    global sort: every partition sorts its key range in parallel and
-    ids are offset by the partition-size prefix sums (one extra count
-    job) — no single-partition Exchange anywhere, so this survives
-    hapax-heavy web vocabularies (>10^8 terms) that a global
-    ``row_number()`` window cannot.  Ids start at 1 and follow the sort
-    order exactly; the call is eager (zipWithIndex materializes the
-    sorted relation once).
-    """
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    Dense-id assignment is fully JVM-side (no ``.rdd`` round-trip —
+    every row through Python serde was the r2 weak-at-scale shape):
 
+    1. ``repartitionByRange`` on (total_freq desc, term asc) — every
+       partition owns a contiguous rank range of the global order, and
+       because the sort key is the full composite, Zipfian hapax tiers
+       (freq=1 over most of a >10^8-term web vocabulary) still split
+       across partitions by term;
+    2. one small job collects the per-partition row counts (numPartitions
+       rows) and the driver turns them into prefix-sum offsets;
+    3. ``row_number()`` over ``Window.partitionBy(spark_partition_id())``
+       ranks within each partition in parallel — no SinglePartition
+       Exchange, no Python-evaluation stage — and the broadcast literal
+       offset map makes the ids globally dense.
+
+    Ids start at 1 and follow the sort order exactly.  The ranged
+    relation is persisted + materialized (MEMORY_AND_DISK) so the count
+    job and the final query see the identical partition assignment.
+    """
+    from pyspark.sql.window import Window
+
+    spark = postings.sparkSession
     totals = postings.groupBy("term").agg(
         F.sum("freq").cast("long").alias("total_freq")
     )
-    ordered = totals.orderBy(F.desc("total_freq"), F.asc("term"))
-    schema = StructType(
-        list(ordered.schema.fields) + [StructField("term_id", IntegerType(), False)]
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = (
+        totals.repartitionByRange(
+            nparts, F.col("total_freq").desc(), F.col("term").asc()
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    indexed = ordered.rdd.zipWithIndex().map(
-        lambda pair: (*pair[0], pair[1] + 1)
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.extend((F.lit(pid), F.lit(acc)))
+        acc += sizes[pid]
+    off = (
+        F.element_at(F.create_map(*offsets), F.col("_pid"))
+        if offsets else F.lit(0)
     )
-    return postings.sparkSession.createDataFrame(indexed, schema)
+    w = Window.partitionBy("_pid").orderBy(
+        F.desc("total_freq"), F.asc("term")
+    )
+    return (
+        ranged.withColumn(
+            "term_id", (F.row_number().over(w) + off).cast("int")
+        )
+        .drop("_pid")
+        .select("term", "total_freq", "term_id")
+    )
 
 
 def metadata_inversion(
     frames: DataFrame, fields: Sequence[str], unit: str = "frame"
 ) -> DataFrame:
-    """(field, value) -> sorted id list + count, per metadata field."""
+    """Inverted metadata relation: one row per (field, value, id) with
+    the value's total id count ``n`` alongside — the scale-safe primary
+    shape (reference streams group-adjacent rows in constant memory,
+    sqlite.py:870-994; the Spark analog is this flat relation, NOT a
+    per-value array: ``collect_list`` on a skewed value — ``lang='en'``
+    over 10^9 docs — would materialize the whole posting set into one
+    row and OOM the executor, the r2 weak-at-scale shape).
+
+    Columns: field, value, n, id (long doc_id at unit='document',
+    'doc:frame' string at unit='frame').  Plan: a partial-aggregated
+    count per (field, value) joined back — two shuffles, no unbounded
+    per-key state anywhere.  For small-cardinality convenience use
+    :func:`metadata_inversion_arrays`.
+    """
     outs = []
     for f in fields:
         if unit == "document":
-            ids = frames.select(F.col(f).cast("string").alias("value"),
-                                "doc_id").dropDuplicates()
-            idc = F.col("doc_id")
+            ids = frames.select(
+                F.col(f).cast("string").alias("value"), "doc_id"
+            ).dropDuplicates()
+            idc = F.col("doc_id").alias("id")
         else:
             ids = frames.select(
                 F.col(f).cast("string").alias("value"), "doc_id", "frame_seq"
             )
-            idc = F.concat_ws(":", "doc_id", "frame_seq")
+            idc = F.concat_ws(":", "doc_id", "frame_seq").alias("id")
+        base = ids.select(F.lit(f).alias("field"), "value", idc)
+        counts = base.groupBy("field", "value").agg(
+            F.count("*").cast("long").alias("n")
+        )
         outs.append(
-            ids.groupBy("value")
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.sort_array(F.collect_list(idc)).alias("ids"),
+            base.join(counts, ["field", "value"]).select(
+                "field", "value", "n", "id"
             )
-            .select(F.lit(f).alias("field"), "value", "n", "ids")
         )
     res = outs[0]
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+def metadata_inversion_arrays(
+    frames: DataFrame, fields: Sequence[str], unit: str = "frame"
+) -> DataFrame:
+    """(field, value) -> sorted id array + count.  Convenience form for
+    LOW-cardinality metadata only: each (field, value) group's ids are
+    collected into a single array row, which is unbounded state on a
+    skewed value — the flat :func:`metadata_inversion` is the relation
+    to use at scale."""
+    inv = metadata_inversion(frames, fields, unit=unit)
+    return inv.groupBy("field", "value").agg(
+        F.max("n").alias("n"),
+        F.sort_array(F.collect_list("id")).alias("ids"),
+    )
 
 
 def filter_range(
@@ -132,6 +195,11 @@ _OPS = {
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
     "in": lambda c, v: c.isin(list(v)),
+    # reference wildcard equality is re.match — anchored at the start
+    # (CATEGORICAL equals_wildcard, processing/schema.py:200-201); the
+    # full FIELD_OPS set is accepted on the attribute path exactly as
+    # the reference accepts it (index.py:1330-1380).
+    "*=": lambda c, v: c.rlike(f"^(?:{v})"),
 }
 
 
@@ -139,6 +207,7 @@ def attribute_filter(
     frames: DataFrame,
     attributes: DataFrame,
     conditions: Dict[str, Dict[str, object]],
+    value_types: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
     """Restrict frames by frame-level attribute annotations.
 
@@ -146,14 +215,33 @@ def attribute_filter(
     value); ``conditions`` is {type: {op: value}}.  Conjunction across
     types = repeated semi-joins (the reference INTERSECTs per-type id
     sets, sqlite.py:1547-1549) — each semi-join is a broadcast when the
-    qualifying id set is small."""
+    qualifying id set is small.
+
+    Attribute values are *stored* as strings (build.py add_attributes —
+    one columnar type); ``value_types`` maps attribute type -> 'numeric'
+    to route its comparisons through a double cast, so a ``{'>=': 10}``
+    on numeric attribute values compares numerically, not
+    lexicographically (the r2 trap: '9' > '10' as strings).  A declared
+    :class:`caterpillar_spark.schema.Schema` NUMERIC field corresponds
+    to ``'numeric'`` here; anything else compares as text, and ``*=``
+    (anchored wildcard) applies to the text form.
+    """
+    value_types = value_types or {}
     out = frames
     for typ, conds in conditions.items():
         q = attributes.where(F.col("type") == typ)
+        numeric = value_types.get(typ) == "numeric"
         for op, val in conds.items():
             if op not in _OPS:
                 raise ValueError(f"Unsupported attribute operator {op!r}")
-            q = q.where(_OPS[op](F.col("value"), val))
+            if numeric and op != "*=":
+                col = F.col("value").cast("double")
+                val = (
+                    [float(v) for v in val] if op == "in" else float(val)
+                )
+            else:
+                col = F.col("value")
+            q = q.where(_OPS[op](col, val))
         out = out.join(
             q.select("doc_id", "frame_seq").dropDuplicates(),
             ["doc_id", "frame_seq"],

@@ -58,29 +58,57 @@ def test_vocabulary_ordering(postings):
 
 
 def test_vocabulary_no_single_partition_exchange(postings, spark):
-    """Dense-id assignment must not funnel the vocabulary through one
-    partition: the underlying sort is a range-partitioned Exchange and
-    no Window appears anywhere in the plan."""
-    from pyspark.sql import functions as SF
-
-    totals = postings.groupBy("term").agg(
-        SF.sum("freq").cast("long").alias("total_freq")
-    )
-    plan = totals.orderBy(
-        SF.desc("total_freq"), SF.asc("term")
-    )._jdf.queryExecution().executedPlan().toString()
+    """Dense-id assignment must stay JVM-side and parallel: the global
+    order comes from a range-partitioned Exchange, ranking runs as a
+    per-partition-id Window (never SinglePartition), and no
+    Python-evaluation stage (``.rdd`` round-trip / BatchEvalPython /
+    ExistingRDD scan) appears anywhere in the executed plan — the r2
+    ``zipWithIndex`` shape pushed every vocabulary row through Python
+    serde."""
+    plan = vocabulary(postings)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
-    assert "Window" not in vocabulary(postings)._jdf.queryExecution().analyzed().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" not in plan
 
 
 def test_metadata_inversion_partitions_total(frames):
+    """The flat (field, value, n, id) primary partitions the corpus:
+    one row per (value, id), n consistent across a value's rows."""
     inv = metadata_inversion(frames, ["lang"], unit="document").collect()
     n_docs = frames.select("doc_id").distinct().count()
-    assert sum(r["n"] for r in inv) == n_docs
+    assert len(inv) == n_docs
+    by_value = {}
     for r in inv:
-        assert r["n"] == len(r["ids"])
-        assert list(r["ids"]) == sorted(r["ids"])
+        by_value.setdefault(r["value"], []).append(r)
+    assert sum({v: rs[0]["n"] for v, rs in by_value.items()}.values()) == n_docs
+    for v, rs in by_value.items():
+        assert {r["n"] for r in rs} == {len(rs)}
+        assert len({r["id"] for r in rs}) == len(rs)
+
+
+def test_metadata_inversion_scale_path_no_arrays(frames):
+    """The scale-path plan must not contain any per-value array
+    aggregation (collect_list was the r2 OOM-on-skew shape)."""
+    inv = metadata_inversion(frames, ["lang"], unit="document")
+    plan = inv._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in plan
+    # the convenience array form agrees with the flat primary
+    from caterpillar_spark.query.vectors import metadata_inversion_arrays
+
+    arrays = {
+        (r["field"], r["value"]): (r["n"], list(r["ids"]))
+        for r in metadata_inversion_arrays(
+            frames, ["lang"], unit="document"
+        ).collect()
+    }
+    flat = {}
+    for r in inv.collect():
+        flat.setdefault((r["field"], r["value"]), []).append(r["id"])
+    assert set(arrays) == set(flat)
+    for key, (n, ids) in arrays.items():
+        assert n == len(flat[key])
+        assert ids == sorted(flat[key])
 
 
 def test_filter_range_keyset(docs):
@@ -120,6 +148,44 @@ def test_attribute_filter_conjunction(spark, frames):
         (F.col("n_chars") >= 300) & (F.col("lang") == "en")
     ).count()
     assert out.count() == expect
+
+
+def test_attribute_filter_wildcard_and_numeric(spark, frames):
+    """Reference FIELD_OPS parity on the attribute path: anchored ``*=``
+    wildcard (equals_wildcard = re.match, schema.py:200-201) and numeric
+    comparison through the declared cast — string-stored '99' must NOT
+    satisfy ``{'>=': 350}`` the way lexicographic compare would."""
+    attrs = frames.select(
+        "doc_id",
+        "frame_seq",
+        F.lit("length_class").alias("type"),
+        F.when(F.col("n_chars") >= 300, "long").otherwise("short").alias("value"),
+    ).unionAll(
+        frames.select(
+            "doc_id", "frame_seq",
+            F.lit("chars").alias("type"),
+            F.col("n_chars").cast("string").alias("value"),
+        )
+    )
+    # anchored wildcard: 'lo.' matches 'long', not 'short'; '.ort'
+    # does NOT match 'short' (anchored at start, like re.match)
+    wild = attribute_filter(frames, attrs, {"length_class": {"*=": "lo."}})
+    assert wild.count() == frames.where(F.col("n_chars") >= 300).count()
+    assert (
+        attribute_filter(frames, attrs, {"length_class": {"*=": ".ort"}}).count()
+        == 0
+    )
+    # numeric range through the cast vs the lexicographic trap
+    num = attribute_filter(
+        frames, attrs, {"chars": {">=": 350}}, value_types={"chars": "numeric"}
+    )
+    want = frames.where(F.col("n_chars") >= 350).count()
+    lex = frames.where(F.col("n_chars").cast("string") >= "350").count()
+    assert num.count() == want
+    assert want != lex  # the corpus genuinely distinguishes the two
+    # untyped comparison keeps the (documented) string semantics
+    untyped = attribute_filter(frames, attrs, {"chars": {">=": "350"}})
+    assert untyped.count() == lex
 
 
 def test_delete_documents(spark, docs, tmp_path):
