@@ -93,13 +93,24 @@ class InvertedIndex:
         with open(os.path.join(self.path, "manifest.json")) as f:
             return json.load(f)
 
+    def _table(self, name: str) -> str:
+        """Resolve a table directory, recovering from a crash inside
+        :func:`_swap_dir`'s brief absence window: if the live dir is
+        missing but its ``.old`` sibling survives, rename it back
+        before reading."""
+        p = os.path.join(self.path, name)
+        old = p + ".old"
+        if not os.path.exists(p) and os.path.isdir(old):
+            os.rename(old, p)
+        return p
+
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        return self.spark.read.parquet(self._table("postings"))
 
     def docs(self) -> DataFrame:
         """Per-document ledger (doc_id, dl) — doc_id-sorted parquet, the
         membership/length table incremental appends guard against."""
-        return self.spark.read.parquet(os.path.join(self.path, "docs"))
+        return self.spark.read.parquet(self._table("docs"))
 
     def doc_lens(self) -> DataFrame:
         """(doc_id, dl) for document-level scoring — the docs ledger."""
@@ -109,7 +120,7 @@ class InvertedIndex:
         """Persisted frame attributes (doc_id, frame_seq, type, value) —
         the reference's attribute/frame_attribute_posting tables
         (_sqlite_v0_10_0_schema.py:145-203)."""
-        return self.spark.read.parquet(os.path.join(self.path, "attributes"))
+        return self.spark.read.parquet(self._table("attributes"))
 
     def stored_documents(self) -> DataFrame:
         """The source document table this index was built from (the
@@ -126,17 +137,17 @@ class InvertedIndex:
         return self.spark.read.parquet(src)
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
+        return self.spark.read.parquet(self._table("term_stats"))
 
     def field_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "field_stats"))
+        return self.spark.read.parquet(self._table("field_stats"))
 
     def num_buckets(self) -> int:
         return self.manifest["num_buckets"]
 
     def lists(self) -> DataFrame:
         """Compressed posting-list block rows (postinglists.py layout)."""
-        return self.spark.read.parquet(os.path.join(self.path, "lists"))
+        return self.spark.read.parquet(self._table("lists"))
 
     def compressed(self):
         """CompressedIndex view for the WAND query engine."""
@@ -170,12 +181,15 @@ def _save_manifest(path: str, manifest: dict) -> None:
 
 
 def _swap_dir(final: str, tmp: str) -> None:
-    """Replace directory ``final`` with ``tmp`` leaving no window where
-    the table is absent: the live dir is first renamed aside, then the
-    staged dir takes its name, then the old data is deleted.  A crash
-    at any point leaves either the old or the new table under ``final``
-    (plus at worst a stale ``.old``/staging dir to garbage-collect),
-    never a missing table."""
+    """Replace directory ``final`` with ``tmp`` via rename pairs.
+
+    There IS a brief window between the two renames where ``final`` is
+    absent (plain-filesystem rename pairs are not one atomic commit); a
+    crash inside it leaves the table only at ``final + '.old'``.
+    :meth:`InvertedIndex._table` recovers that state at open time by
+    renaming ``.old`` back, so readers never see a missing table across
+    a crash; a crash after the second rename leaves at worst a stale
+    ``.old`` that the next swap garbage-collects."""
     import shutil
 
     old = final + ".old"

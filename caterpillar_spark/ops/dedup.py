@@ -238,8 +238,15 @@ def near_dup_clusters(
     O(component diameter) rounds.  Near-dup components are small and
     dense (they come from shared LSH buckets), so the diameter is tiny;
     ``max_iterations`` bounds pathological chains.  Each round's label
-    relation is persisted and the previous one unpersisted, so lineage
-    stays flat.  For adversarial long-chain graphs swap in the
+    relation is ``localCheckpoint``-ed: caching alone does NOT truncate
+    the *logical plan* — every round references the prior labels twice
+    (join + union), so an iterated cached plan grows ~2^rounds leaves
+    and OOMs the driver in analysis/codegen around round 8 (found by
+    tests/test_ops_misc.py non-convergence test); checkpointing cuts
+    the lineage so each round plans against a leaf.  On a cluster with
+    executor churn, set a reliable ``spark.sparkContext
+    .setCheckpointDir`` and swap ``localCheckpoint`` for ``checkpoint``
+    — same shape.  For adversarial long-chain graphs swap in the
     large-star/small-star rounds of Kiveris et al. (CC in MapReduce,
     2014) — same join primitive, O(log^2 n) rounds; not needed for the
     LSH-cluster shape.
@@ -248,15 +255,15 @@ def near_dup_clusters(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select("u")
         .distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
+    changed = 0
     for _ in range(max_iterations):
         neighbor = edges.join(
             labels, edges["v"] == labels["node"]
@@ -265,7 +272,7 @@ def near_dup_clusters(
             labels.union(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -273,11 +280,23 @@ def near_dup_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    if changed:
+        # Non-convergence must not pass silently: a component returned
+        # split across several cluster_ids means dedup keeps extra
+        # survivors.  Signal the caller (who can raise max_iterations or
+        # switch to the large-star/small-star rounds cited above).
+        import warnings
+
+        warnings.warn(
+            f"near_dup_clusters did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing) — components may "
+            "be split across multiple cluster_ids",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -182,6 +182,66 @@ def filter_metadata(frames: DataFrame, metadata, schema=None) -> DataFrame:
     return frames.where(metadata_predicate(metadata, schema=schema))
 
 
+def _fields_in_scope(index, include_fields, exclude_fields) -> List[str]:
+    """Distinct indexed fields after scoping (one tiny collect, memoized
+    per index handle — field_stats has one row per field, or per
+    (field, batch) on an incrementally-appended index)."""
+    fields = getattr(index, "_fields_cache", None)
+    if fields is None:
+        fields = sorted(
+            r["field"]
+            for r in index.field_stats().select("field").distinct().collect()
+        )
+        try:
+            object.__setattr__(index, "_fields_cache", fields)
+        except (AttributeError, TypeError):
+            pass
+    if include_fields:
+        return [f for f in fields if f in set(include_fields)]
+    if exclude_fields:
+        return [f for f in fields if f not in set(exclude_fields)]
+    return list(fields)
+
+
+def _scoped_doc_lens(index, include_fields, exclude_fields) -> DataFrame:
+    """(doc_id, dl) with dl restricted to the scoped fields.  Unscoped:
+    the index's own doc-lens relation (docs ledger / frames rollup).
+    Scoped: recomputed from the frames relation when the handle exposes
+    one, else from distinct posting frames (misses frames whose tokens
+    were all stop-marked — same documented deviation as
+    delete_documents' pseudo-frames)."""
+    if not include_fields and not exclude_fields:
+        return index.doc_lens()
+    frames = getattr(index, "frames", None)
+    if isinstance(frames, DataFrame):
+        src = _field_scope(frames, include_fields, exclude_fields)
+        return src.groupBy("doc_id").agg(
+            F.sum("frame_tokens").cast("long").alias("dl")
+        )
+    src = _field_scope(index.postings(), include_fields, exclude_fields)
+    return (
+        src.select("doc_id", "field", "frame_seq", "frame_tokens")
+        .dropDuplicates(["doc_id", "field", "frame_seq"])
+        .groupBy("doc_id")
+        .agg(F.sum("frame_tokens").cast("long").alias("dl"))
+    )
+
+
+def _pruned_postings(index, spark, terms: Sequence[str]) -> DataFrame:
+    """Postings scan pruned to the query terms: term-bucket partition
+    pruning (buckets computed driver-side, no Spark job) + a literal
+    ``isin`` predicate that parquet row-group min/max stats use because
+    files are term-sorted."""
+    posts = index.postings()
+    nb = index.num_buckets()
+    if nb:
+        from caterpillar_spark.functions.hashing import spark_xxhash64
+
+        buckets = sorted({spark_xxhash64(t) % nb for t in terms})
+        posts = posts.where(F.col("term_bucket").isin(buckets))
+    return posts.where(F.col("term").isin(list(terms)))
+
+
 def _resolve_weights(
     index,
     terms: List[Tuple[str, int, str]],
@@ -193,20 +253,41 @@ def _resolve_weights(
 
     Returns ({term: weight}, N, avgdl) — N and the document frequency
     are *frame*-granular for the frame scorers (tfidf/bm25) and
-    *document*-granular for ``bm25_doc`` (docs_occuring + the doc-lens
-    relation, exactly the statistics WAND scores with).  Missing terms
-    get weight 0 (reference sqlite.py:1340-1348).
+    *document*-granular for ``bm25_doc`` (distinct-document df + the
+    field-scoped doc-lens relation, exactly the statistics WAND scores
+    with).  Missing terms get weight 0 (reference sqlite.py:1340-1348).
+
+    Document-granularity df note: ``term_stats.docs_occuring`` is per
+    (term, field), so summing it over a multi-field index counts a
+    document once per field containing the term — df could exceed N.
+    On a single-field scope the sum is exact and the pruned stats read
+    stays the fast path; with >1 field in scope the df comes from a
+    distinct-doc count over the bucket-pruned postings instead.
     """
     doc_mode = scorer == "bm25_doc"
     term_values = sorted({t for t, _, _ in terms})
-    stats = _field_scope(index.term_stats(), include_fields, exclude_fields)
-    stat_col = "docs_occuring" if doc_mode else "frames_occuring"
-    rows = (
-        stats.where(F.col("term").isin(term_values))
-        .groupBy("term")
-        .agg(F.sum(stat_col).alias("ff"))
-        .collect()
-    )
+    if doc_mode and len(
+        _fields_in_scope(index, include_fields, exclude_fields)
+    ) > 1:
+        spark = index.frames.sparkSession if isinstance(index, MemoryIndex) else index.spark
+        posts = _field_scope(
+            _pruned_postings(index, spark, term_values),
+            include_fields, exclude_fields,
+        )
+        rows = (
+            posts.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("ff"))
+            .collect()
+        )
+    else:
+        stats = _field_scope(index.term_stats(), include_fields, exclude_fields)
+        stat_col = "docs_occuring" if doc_mode else "frames_occuring"
+        rows = (
+            stats.where(F.col("term").isin(term_values))
+            .groupBy("term")
+            .agg(F.sum(stat_col).alias("ff"))
+            .collect()
+        )
     ff = {r["term"]: r["ff"] for r in rows}
 
     # Corpus constants are per-(index, field-scope) invariants — memoize
@@ -228,7 +309,7 @@ def _resolve_weights(
     if scope_key in cache:
         n_units, avgdl = cache[scope_key]
     elif doc_mode:
-        agg = index.doc_lens().agg(
+        agg = _scoped_doc_lens(index, include_fields, exclude_fields).agg(
             F.count("*").alias("n"), F.sum("dl").alias("tok")
         ).collect()[0]
         n_units = float(agg["n"] or 0)
@@ -305,23 +386,11 @@ def filter_frames(
         "term string, group_id int, kind string, weight double",
     )
 
-    posts = index.postings()
-    nb = index.num_buckets()
-    if nb:
-        import pyspark.sql.functions as SF
-
-        buckets = {
-            r["b"]
-            for r in spark.createDataFrame([(t,) for t, _, _ in rows], "term string")
-            .select(SF.pmod(SF.xxhash64("term"), SF.lit(nb)).cast("int").alias("b"))
-            .distinct()
-            .collect()
-        }
-        posts = posts.where(F.col("term_bucket").isin(sorted(buckets)))
-    # Redundant with the join semantically, but as a literal predicate it
-    # pushes into the parquet scan where the term-sorted file layout
-    # turns it into row-group min/max pruning.
-    posts = posts.where(F.col("term").isin([t for t, _, _ in rows]))
+    # Bucket pruning + a literal term predicate (redundant with the join
+    # semantically, but as a literal it pushes into the parquet scan
+    # where the term-sorted file layout turns it into row-group min/max
+    # pruning); buckets are computed driver-side — no pre-job.
+    posts = _pruned_postings(index, spark, [t for t, _, _ in rows])
     posts = _field_scope(posts, include_fields, exclude_fields)
     if metadata:
         posts = posts.where(metadata_predicate(metadata, schema=schema))
@@ -340,7 +409,9 @@ def filter_frames(
         per_term = joined.groupBy(
             "doc_id", "term", "group_id", "kind", "weight"
         ).agg(F.sum("freq").alias("tf"))
-        joined = per_term.join(index.doc_lens(), "doc_id")
+        joined = per_term.join(
+            _scoped_doc_lens(index, include_fields, exclude_fields), "doc_id"
+        )
         contrib = F.col("weight") * (
             F.col("tf") * (k1 + 1.0)
         ) / (

@@ -121,19 +121,44 @@ class CompressedIndex:
 def _prune_terms(index: CompressedIndex, terms: Sequence[str]) -> DataFrame:
     df = index.lists
     if index.num_buckets and "term_bucket" in df.columns:
-        spark = df.sparkSession
-        buckets = {
-            r["b"]
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(index.num_buckets))
-                .cast("int").alias("b")
-            )
-            .distinct()
-            .collect()
-        }
-        df = df.where(F.col("term_bucket").isin(sorted(buckets)))
+        from caterpillar_spark.functions.hashing import spark_xxhash64
+
+        # buckets computed driver-side (parity-pinned pure-Python
+        # xxhash64) — the r2 shape ran a 1-row-per-term Spark job here
+        # before every query.
+        buckets = sorted({spark_xxhash64(t) % index.num_buckets for t in terms})
+        df = df.where(F.col("term_bucket").isin(buckets))
     return df.where(F.col("term").isin(list(terms)))
+
+
+def _term_doc_freqs(
+    index: CompressedIndex, pruned: DataFrame, terms: Sequence[str]
+) -> dict:
+    """Per-term document frequency from the block metadata (sum of
+    n_docs — no decode), memoized per index handle: df is a static
+    index property, so repeated queries over the same terms skip the
+    pre-pass job entirely (the r2 shape ran posting_list_stats + collect
+    before every query — the driver-bench wand regression's main
+    suspect)."""
+    cache = getattr(index, "_df_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(index, "_df_cache", cache)
+        except (AttributeError, TypeError):
+            pass
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        rows = (
+            pruned.where(F.col("term").isin(missing))
+            .groupBy("term")
+            .agg(F.sum("n_docs").cast("long").alias("doc_freq"))
+            .collect()
+        )
+        found = {r["term"]: int(r["doc_freq"]) for r in rows}
+        for t in missing:
+            cache[t] = found.get(t, 0)
+    return {t: cache[t] for t in terms if cache[t] > 0}
 
 
 def wand_topk(
@@ -157,12 +182,7 @@ def wand_topk(
     spark = index.lists.sparkSession
     pruned = _prune_terms(index, [*terms, *neg_terms])
 
-    stats = {
-        r["term"]: int(r["doc_freq"])
-        for r in posting_list_stats(
-            pruned.where(F.col("term").isin(list(terms)))
-        ).collect()
-    }
+    stats = _term_doc_freqs(index, pruned, terms)
     n = float(index.n_docs)
     idf = {
         t: float(np.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)))

@@ -101,6 +101,33 @@ def append_batch(
         return InvertedIndex(spark, path)  # replayed batch: already applied
     num_buckets = manifest["num_buckets"]
 
+    if (
+        on_existing != "allow"
+        and not os.path.isdir(docs_path)
+        and manifest.get("revision", 0) > 0
+    ):
+        # Index predates the docs ledger (built before docs/ existed):
+        # silently passing the guard here would let originally-indexed
+        # doc_ids be re-appended and double-counted, with later probes
+        # reporting clean against a partial ledger.  Backfill the ledger
+        # from the postings' distinct frames first (one full postings
+        # column scan — a one-time migration cost per legacy index).
+        backfill = (
+            spark.read.parquet(os.path.join(path, "postings"))
+            .select("doc_id", "field", "frame_seq", "frame_tokens")
+            .dropDuplicates(["doc_id", "field", "frame_seq"])
+            .groupBy("doc_id")
+            .agg(F.sum("frame_tokens").cast("long").alias("dl"))
+        )
+        (
+            backfill.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
+            )
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+
     if on_existing != "allow" and os.path.isdir(docs_path):
         new_ids = frames.select("doc_id").distinct()
         dupes = (

@@ -31,6 +31,41 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 FIRST_SEEN_STATE_SCHEMA = "seen boolean"
 
 
+def _make_first_seen_fn(ttl_minutes: Optional[int]):
+    """The per-key stateful function behind :func:`first_seen`
+    (module-level factory so the TTL contract is unit-testable with a
+    stub GroupState).
+
+    TTL contract: Spark clears a key's timeout on EVERY invocation of
+    the function for that key, so the timeout must be re-armed on every
+    non-timeout invocation — arming only on first sighting (the r2
+    shape) meant any later duplicate arrival cancelled the TTL and the
+    key's state lived forever, defeating the bounded-state purpose on
+    duplicate-heavy crawls."""
+
+    def dedupe(
+        key: Tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL expiry: drop the key's state; nothing to emit.
+            state.remove()
+            return
+        already = state.exists and state.get[0]
+        emitted = False
+        for pdf in batches:
+            if already or emitted or len(pdf) == 0:
+                continue
+            yield pdf.iloc[:1]
+            emitted = True
+        if emitted and not already:
+            state.update((True,))
+        if ttl_minutes and (emitted or already):
+            # unconditional re-arm (see docstring)
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+
+    return dedupe
+
+
 def first_seen(
     df: DataFrame,
     fingerprint_col: str = "fp",
@@ -52,27 +87,8 @@ def first_seen(
         else GroupStateTimeout.NoTimeout
     )
 
-    def dedupe(
-        key: Tuple, batches: Iterable[pd.DataFrame], state: GroupState
-    ) -> Iterable[pd.DataFrame]:
-        if state.hasTimedOut:
-            # TTL expiry: drop the key's state; nothing to emit.
-            state.remove()
-            return
-        already = state.exists and state.get[0]
-        emitted = False
-        for pdf in batches:
-            if already or emitted or len(pdf) == 0:
-                continue
-            yield pdf.iloc[:1]
-            emitted = True
-        if emitted and not already:
-            state.update((True,))
-            if ttl_minutes:
-                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-
     return df.groupBy(F.col(fingerprint_col)).applyInPandasWithState(
-        dedupe,
+        _make_first_seen_fn(ttl_minutes),
         outputStructType=out_schema,
         stateStructType=FIRST_SEEN_STATE_SCHEMA,
         outputMode="append",

@@ -454,6 +454,68 @@ def test_bm25_doc_matches_wand_on_multiframe_corpus(spark):
     frames.unpersist()
 
 
+def test_bm25_doc_matches_wand_on_multifield_corpus(spark):
+    """bm25_doc ≡ WAND must hold on a MULTI-FIELD index too: df is a
+    distinct-document count across fields, not the per-(term, field)
+    docs_occuring sum (which counts a doc once per field containing the
+    term — idf wrong, df can exceed N; the r2 bug found by the
+    advisor).  Field-scoped doc mode restricts N/avgdl/dl to the scoped
+    fields like frame mode does."""
+    from caterpillar_spark.query.engine import _resolve_weights
+    from caterpillar_spark.query.wand import CompressedIndex, wand_topk
+    from pyspark.sql import Row
+
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i,
+                title=f"data spark title {i} alpha beta",
+                body=("spark data engine row " * (2 + i % 3)).strip())
+            for i in range(1, 41)
+        ]
+    )
+    frames = build_frames(docs, text_cols=["title", "body"], frame_size=2).cache()
+    idx = MemoryIndex(frames)
+
+    # 'spark' occurs in BOTH fields of every doc: summed docs_occuring
+    # would be 80 > N=40; distinct-doc df must be 40.
+    weights, n, _ = _resolve_weights(
+        idx, [("spark", 0, "should")], None, None, "bm25_doc"
+    )
+    assert n == 40.0
+    assert weights["spark"] == pytest.approx(
+        math.log(1.0 + (40 - 40 + 0.5) / (40 + 0.5))
+    )
+
+    cidx = CompressedIndex.build(
+        idx.postings(), num_buckets=4, block_bits=3, doc_lens=idx.doc_lens()
+    )
+    terms = ["spark", "alpha"]
+    got = search(
+        idx, k=40, unit="document", should=terms, scorer="bm25_doc"
+    ).collect()
+    want = wand_topk(cidx, terms, k=40).collect()
+    assert [(r["doc_id"], round(r["score"], 8)) for r in got] == [
+        (r["doc_id"], round(r["score"], 8)) for r in want
+    ]
+
+    # field-scoped doc mode: N/avgdl/df come from the scoped field only
+    w_t, n_t, avgdl_t = _resolve_weights(
+        idx, [("engine", 0, "should")], ["title"], None, "bm25_doc"
+    )
+    # 'engine' never occurs in titles: scoped df = 0 -> missing-term
+    # weight 0 (reference sqlite.py:1340-1348), NOT the body-wide idf
+    assert n_t == 40.0 and w_t["engine"] == 0.0
+    title_avgdl = (
+        frames.where(F.col("field") == "title")
+        .groupBy("doc_id").agg(F.sum("frame_tokens").alias("dl"))
+        .agg(F.avg("dl")).collect()[0][0]
+    )
+    assert avgdl_t == pytest.approx(title_avgdl)
+    frames.unpersist()
+
+
 @needs_ref
 def test_employee_survey_bigram_goldens(spark):
     """Reference goldens (test_index.py:422-433), REFERENCE-EXACT on the

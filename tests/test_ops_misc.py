@@ -176,6 +176,35 @@ def test_near_dup_clusters(spark):
     assert got2 == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+def test_near_dup_clusters_warns_on_non_convergence(spark):
+    """Hitting max_iterations with labels still changing must be
+    audible (a silently split component means dedup keeps extra
+    survivors)."""
+    import pytest as _pytest
+
+    from caterpillar_spark.ops import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(chain, max_iterations=1).collect()
+        }
+    assert got[9] != 1  # the far end genuinely hasn't received label 1
+    # and with enough rounds the same graph converges silently
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        full = {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(chain).collect()
+        }
+    assert set(full.values()) == {1}
+
+
 def test_bpe_token_stats_pretokens(spark):
     """GPT-2-style pre-tokenizer counts on text with contractions,
     symbols and digits (branches the plain driver corpus never hits)."""

@@ -154,6 +154,93 @@ def test_first_seen_stateful_dedup(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_first_seen_ttl_rearmed_on_duplicates():
+    """Spark clears a key's GroupState timeout on every invocation, so
+    the TTL must be re-armed on every non-timeout call — including
+    duplicate arrivals that emit nothing.  (The r2 shape armed only on
+    first sighting; one duplicate then cancelled the TTL forever.)"""
+    import pandas as pd
+
+    from caterpillar_spark.streaming.stateful import _make_first_seen_fn
+
+    class StubState:
+        def __init__(self):
+            self.hasTimedOut = False
+            self.exists = False
+            self._v = None
+            self.timeout_set = 0
+            self.removed = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set += 1
+            self.last_timeout_ms = ms
+
+        def remove(self):
+            self.removed, self.exists = True, False
+
+    fn = _make_first_seen_fn(ttl_minutes=5)
+    st = StubState()
+    batch = [pd.DataFrame({"doc_id": [1], "fp": ["a"]})]
+
+    out = list(fn(("a",), iter(batch), st))  # first sighting: emit + arm
+    assert len(out) == 1 and st.timeout_set == 1
+    assert st.last_timeout_ms == 5 * 60 * 1000
+
+    out = list(fn(("a",), iter(batch), st))  # duplicate: no emit, RE-ARM
+    assert out == [] and st.timeout_set == 2
+
+    st.hasTimedOut = True  # TTL expiry drops the state
+    assert list(fn(("a",), iter([]), st)) == []
+    assert st.removed
+
+    # without a TTL the timeout is never touched
+    st2 = StubState()
+    list(_make_first_seen_fn(None)(("a",), iter(batch), st2))
+    list(_make_first_seen_fn(None)(("a",), iter(batch), st2))
+    assert st2.timeout_set == 0
+
+
+def test_append_backfills_missing_docs_ledger(spark, tmp_path):
+    """An index whose docs/ ledger is missing (predates the ledger) must
+    not silently pass the duplicate-doc guard: append_batch backfills
+    the ledger from postings before probing, so a re-append of the
+    original docs is still caught."""
+    import shutil
+
+    from caterpillar_spark.indexing.build import build_index
+
+    docs = ingest_webtext(synthetic_webtext(spark, 40, seed=31))
+    frames = build_frames(docs, metadata_cols=["lang"]).persist()
+    path = str(tmp_path / "legacy_idx")
+    idx = build_index(frames, path, num_buckets=4)
+    n_postings = idx.postings().count()
+    expected_lens = {
+        r["doc_id"]: r["dl"] for r in idx.docs().collect()
+    }
+
+    # simulate the legacy layout: ledger gone, revision > 0
+    shutil.rmtree(os.path.join(path, "docs"))
+
+    # skip-mode re-append of already-indexed docs: the backfilled
+    # ledger catches them all — no duplicate postings, ledger restored
+    append_batch(frames, path)
+    assert idx.postings().count() == n_postings
+    restored = {r["doc_id"]: r["dl"] for r in idx.docs().collect()}
+    assert restored == expected_lens
+
+    shutil.rmtree(os.path.join(path, "docs"))
+    with pytest.raises(ValueError, match="already indexed"):
+        append_batch(frames, path, on_existing="error")
+    frames.unpersist()
+
+
 def test_windowed_event_counts_batch_vs_manual(spark):
     """Event-time tumbling windows on the events table: the windowed
     plan equals a manual date_trunc aggregation (batch path; the same

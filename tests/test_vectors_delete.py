@@ -214,6 +214,29 @@ def test_delete_documents(spark, docs, tmp_path):
     frames.unpersist()
 
 
+def test_swap_dir_crash_recovery(spark, frames, tmp_path):
+    """A crash inside _swap_dir's rename pair can leave a table only at
+    <name>.old; InvertedIndex readers must recover it at open time."""
+    import os
+    import shutil
+
+    from caterpillar_spark.indexing.build import InvertedIndex, build_index
+
+    path = str(tmp_path / "idx")
+    idx = build_index(frames, path, num_buckets=4)
+    n = idx.term_stats().count()
+
+    # simulate: final renamed aside, staged rename never happened
+    ts = os.path.join(path, "term_stats")
+    os.rename(ts, ts + ".old")
+    assert not os.path.exists(ts)
+
+    fresh = InvertedIndex(spark, path)
+    assert fresh.term_stats().count() == n  # recovered
+    assert os.path.isdir(ts) and not os.path.exists(ts + ".old")
+    shutil.rmtree(path)
+
+
 def test_persisted_attributes(spark, frames, tmp_path):
     """add_attributes appends a partitioned attributes table with
     conflict-ignore dedupe and a revision bump; attribute_filter over
