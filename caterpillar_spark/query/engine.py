@@ -266,29 +266,57 @@ def _resolve_weights(
     """
     doc_mode = scorer == "bm25_doc"
     term_values = sorted({t for t, _, _ in terms})
-    if doc_mode and len(
-        _fields_in_scope(index, include_fields, exclude_fields)
-    ) > 1:
-        spark = index.frames.sparkSession if isinstance(index, MemoryIndex) else index.spark
-        posts = _field_scope(
-            _pruned_postings(index, spark, term_values),
-            include_fields, exclude_fields,
-        )
-        rows = (
-            posts.groupBy("term")
-            .agg(F.countDistinct("doc_id").alias("ff"))
-            .collect()
-        )
-    else:
-        stats = _field_scope(index.term_stats(), include_fields, exclude_fields)
-        stat_col = "docs_occuring" if doc_mode else "frames_occuring"
-        rows = (
-            stats.where(F.col("term").isin(term_values))
-            .groupBy("term")
-            .agg(F.sum(stat_col).alias("ff"))
-            .collect()
-        )
-    ff = {r["term"]: r["ff"] for r in rows}
+
+    # Per-term frequency statistics are static index properties (the
+    # reference loads term statistics into memory the same way — the
+    # vocabulary-scan anecdote, index.py:1016-1018), so they memoize on
+    # the index handle exactly like the corpus constants below: a warm
+    # repeat query runs ZERO statistics jobs, only the retrieval job.
+    # Missing terms cache as None so absent vocabulary is not re-probed.
+    ff_scope = (
+        tuple(include_fields) if include_fields else None,
+        tuple(exclude_fields) if exclude_fields else None,
+        doc_mode,
+    )
+    ff_cache = getattr(index, "_term_ff_cache", None)
+    if ff_cache is None:
+        ff_cache = {}
+        try:
+            object.__setattr__(index, "_term_ff_cache", ff_cache)
+        except (AttributeError, TypeError):
+            pass
+    lookup = [t for t in term_values if (ff_scope, t) not in ff_cache]
+    if lookup:
+        if doc_mode and len(
+            _fields_in_scope(index, include_fields, exclude_fields)
+        ) > 1:
+            spark = index.frames.sparkSession if isinstance(index, MemoryIndex) else index.spark
+            posts = _field_scope(
+                _pruned_postings(index, spark, lookup),
+                include_fields, exclude_fields,
+            )
+            rows = (
+                posts.groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("ff"))
+                .collect()
+            )
+        else:
+            stats = _field_scope(index.term_stats(), include_fields, exclude_fields)
+            stat_col = "docs_occuring" if doc_mode else "frames_occuring"
+            rows = (
+                stats.where(F.col("term").isin(lookup))
+                .groupBy("term")
+                .agg(F.sum(stat_col).alias("ff"))
+                .collect()
+            )
+        found = {r["term"]: r["ff"] for r in rows}
+        for t in lookup:
+            ff_cache[(ff_scope, t)] = found.get(t)
+    ff = {
+        t: ff_cache[(ff_scope, t)]
+        for t in term_values
+        if ff_cache[(ff_scope, t)] is not None
+    }
 
     # Corpus constants are per-(index, field-scope) invariants — memoize
     # on the index handle so repeated queries run one collect, not two.
