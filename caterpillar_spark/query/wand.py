@@ -170,13 +170,22 @@ def wand_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     num_partitions: Optional[int] = None,
+    prune: bool = True,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """Exact BM25 top-k (score desc, doc_id asc) with block-max WAND
     pruning.  ``mode='and'`` additionally requires every term present
     in the document (block-level + doc-level intersection);
     ``must_not`` terms exclude documents (the exclusion lists are
     block-aligned with the scored lists, so masking is block-local —
-    no extra shuffle)."""
+    no extra shuffle).
+
+    ``prune=False`` disables the block-max skip step (every block group
+    is decoded and scored) — the exhaustive baseline the pruning
+    measurement compares against (scripts/blockmax_bench.py).
+    ``metrics`` (a dict) receives two Spark accumulators,
+    ``blocks_skipped`` / ``blocks_scored``, populated when the query's
+    action runs — the observable evidence that the skip step fires."""
     terms = sorted(set(terms))
     neg_terms = sorted(set(must_not) - set(terms))
     spark = index.lists.sparkSession
@@ -207,6 +216,12 @@ def wand_topk(
     from caterpillar_spark.indexing.codec import decode_doc_gaps, decode_varints
 
     neg = set(neg_terms)
+    acc_skipped = acc_scored = None
+    if metrics is not None:
+        acc_skipped = spark.sparkContext.accumulator(0)
+        acc_scored = spark.sparkContext.accumulator(0)
+        metrics["blocks_skipped"] = acc_skipped
+        metrics["blocks_scored"] = acc_scored
 
     def score_partition(it: Iterator) -> Iterator[tuple]:
         groups: dict = {}
@@ -233,8 +248,13 @@ def wand_topk(
         for bound, block, rs in scored:
             if conjunctive and len(rs) < n_terms_required:
                 continue  # a required term has no postings in this range
-            if len(heap) == k and bound < heap[0]:
-                continue  # block-max skip: cannot beat current top-k
+            if prune and len(heap) == k and bound < heap[0]:
+                # block-max skip: cannot beat current top-k
+                if acc_skipped is not None:
+                    acc_skipped.add(1)
+                continue
+            if acc_scored is not None:
+                acc_scored.add(1)
             excluded = None
             if block in neg_groups:
                 excl_parts = [
@@ -249,7 +269,18 @@ def wand_topk(
                 tf = decode_varints(r["freqs"])[:nd].astype(np.float64)
                 dl = decode_varints(r["doc_lens"])[:nd].astype(np.float64)
                 w = idf[r["term"]]
-                s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                # Associate EXACTLY like the block bound (idf * stored
+                # max_score_q, i.e. w * (tf*(k1+1)/den)): IEEE rounding
+                # is monotone, so per-term contribution <= w*max_score_q
+                # holds bit-exactly and a skipped group provably cannot
+                # contain a top-k tie.  The former ((w*tf)*(k1+1))/den
+                # association could exceed the bound by 1 ulp and flip
+                # tie membership at the kth boundary (caught by
+                # scripts/blockmax_bench.py's exactness assertion on a
+                # tie-heavy corpus).
+                s = w * (
+                    tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
                 doc_parts.append(docs)
                 score_parts.append(s)
             all_docs = np.concatenate(doc_parts)

@@ -203,3 +203,36 @@ def test_wand_must_not(corpus, cindex):
     assert [s for _, s in got] == pytest.approx([s for _, s in exp])
     # every excluded doc is absent
     assert not ({d for d, _ in got} & excluded)
+
+
+def test_wand_prune_exact_and_metrics(corpus, cindex):
+    """prune=False (exhaustive) and prune=True return the identical
+    top-k — the block-max skip is exact, not approximate — and the
+    metrics accumulators report the block accounting.  The score/bound
+    float association is part of this contract: a skipped group's bound
+    is >= every contained doc's score bit-exactly (wand.py
+    score_partition comment; regression caught by
+    scripts/blockmax_bench.py on a tie-heavy corpus)."""
+    from caterpillar_spark.query.wand import wand_topk
+
+    terms = ["the", "spark"]
+    m_p, m_e = {}, {}
+    pruned = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(cindex, terms, k=15, metrics=m_p).collect()
+    ]
+    exhaustive = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(
+            cindex, terms, k=15, prune=False, metrics=m_e
+        ).collect()
+    ]
+    assert pruned == exhaustive
+    # exhaustive mode never skips and scores every group
+    assert m_e["blocks_skipped"].value == 0
+    assert m_e["blocks_scored"].value > 0
+    # pruned mode accounts for every group one way or the other
+    assert (
+        m_p["blocks_skipped"].value + m_p["blocks_scored"].value
+        == m_e["blocks_scored"].value
+    )
