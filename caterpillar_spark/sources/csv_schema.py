@@ -1,21 +1,93 @@
-"""CSV ingestion with the reference's schema-inference heuristic.
+"""CSV ingestion with the reference's schema-inference heuristics.
 
 Reference: ``generate_csv_schema`` peeks 20 rows and declares a column
 TEXT when its average word count is >= 5, IGNORE otherwise, with a
 header-detection heuristic (processing/schema.py:443-504, 507-540).
 Spark already infers *types* (``inferSchema``); what we reproduce is the
 reference's *role* classification — which columns are analysable text —
-expressed as a small sampled aggregation instead of a driver-side peek.
+expressed as a small sampled aggregation instead of a driver-side peek,
+plus the header sniff (:func:`csv_has_header`) as a driver-side peek of
+the file head (header detection is inherently about the first physical
+row of one file, so a driver-side read is the right shape even at
+scale).
 """
 
 from __future__ import annotations
 
+import csv as _csv
+import glob as _glob
+import io
+import os
 from typing import Dict, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 AVG_WORDS_TEXT = 5.0
 SAMPLE_ROWS = 20
+# Maximum size for the header row as a fraction of the average row size
+# (reference schema.py:507; true division — the module carries
+# ``from __future__ import division``).  Headers are short label rows;
+# data rows of a mostly-text CSV are much longer.  Fixture goldens:
+# twitter_sentiment=True, test_small=True, test_no_header=False
+# (tests/test_csv_schema.py, run against the reference fixtures).
+MAX_HEADER_SIZE_PERCENTAGE = 0.33
+HEADER_CHECK_ROWS = 50
+
+
+def csv_has_header(
+    text: str, delimiter: str = ",", num_check_rows: int = HEADER_CHECK_ROWS
+) -> bool:
+    """Sniff whether the first CSV row is a header (reference
+    ``csv_has_header``, schema.py:510-540): compare the first row's
+    total cell size against the average of the next ``num_check_rows``
+    rows — headers are short labels, data rows are long (the stdlib
+    ``csv.Sniffer.has_header`` misfires on mostly-text files, which is
+    why the reference rolled its own).
+
+    Deviation (documented): a file with no data rows after the first, or
+    all-empty check rows, returns False instead of raising
+    ZeroDivisionError like the reference would."""
+    reader = _csv.reader(io.StringIO(text), delimiter=delimiter)
+    try:
+        header = next(reader)
+    except StopIteration:
+        return False
+    header_size = sum(len(col) for col in header)
+    total_row_size = 0
+    checked = 0
+    for row in reader:
+        if checked == num_check_rows:
+            break
+        total_row_size += sum(len(col) for col in row)
+        checked += 1
+    if checked == 0:
+        return False
+    avg_row_size = total_row_size / checked
+    if avg_row_size == 0:
+        return False
+    return header_size / avg_row_size <= MAX_HEADER_SIZE_PERCENTAGE
+
+
+def sniff_csv_header(
+    path: str, delimiter: str = ",", max_bytes: int = 256 * 1024
+) -> bool:
+    """Driver-side header sniff of the first CSV file at ``path`` (a
+    file, directory or glob).  Reads at most ``max_bytes`` of the file
+    head — enough for the 1 + 50 rows the heuristic looks at."""
+    candidates = (
+        [path] if os.path.isfile(path)
+        else sorted(
+            _glob.glob(os.path.join(path, "*.csv")) or _glob.glob(path)
+        )
+    )
+    if not candidates:
+        raise FileNotFoundError(f"no CSV file found at {path!r} to sniff")
+    with open(candidates[0], "r", encoding="utf-8", errors="ignore") as fh:
+        head = fh.read(max_bytes)
+    # drop a possibly-truncated trailing line so row sizes stay honest
+    if len(head) == max_bytes and "\n" in head:
+        head = head[: head.rfind("\n")]
+    return csv_has_header(head, delimiter=delimiter)
 
 
 def classify_csv_columns(
@@ -41,9 +113,16 @@ def classify_csv_columns(
 
 
 def read_csv_with_schema(
-    spark: SparkSession, path: str, delimiter: str = ",", header: str = "true"
+    spark: SparkSession, path: str, delimiter: str = ",", header: str = "auto"
 ) -> Tuple[DataFrame, Dict[str, str]]:
-    """Load a CSV and classify its columns; returns (df, roles)."""
+    """Load a CSV and classify its columns; returns (df, roles).
+
+    ``header='auto'`` (default) sniffs whether the first row is a
+    header with the reference heuristic (:func:`sniff_csv_header`) —
+    the r2 verdict's "delegated to caller" gap; pass ``'true'`` /
+    ``'false'`` to override."""
+    if header == "auto":
+        header = "true" if sniff_csv_header(path, delimiter) else "false"
     df = (
         spark.read.option("header", header)
         .option("delimiter", delimiter)

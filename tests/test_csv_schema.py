@@ -26,3 +26,50 @@ def test_nulls_and_short_text(spark):
     assert roles["a"] == "IGNORE"
     # 6-word text in half the rows, nulls counted as 0 words: avg 3 < 5
     assert roles["b"] == "IGNORE"
+
+
+def test_header_autodetect_reference_goldens():
+    """csv_has_header reproduces the reference's fixture goldens
+    (processing/test/test_schema.py:99-133): header-row size vs average
+    data-row size, threshold 0.33 (true division — reference schema.py
+    carries `from __future__ import division`)."""
+    import os
+
+    import pytest
+
+    from caterpillar_spark.sources.csv_schema import sniff_csv_header
+
+    res = "/root/reference/caterpillar/test_resources"
+    if not os.path.isdir(res):
+        pytest.skip("reference corpus not available")
+    assert sniff_csv_header(f"{res}/twitter_sentiment.csv") is True
+    assert sniff_csv_header(f"{res}/test_small.csv") is True
+    assert sniff_csv_header(f"{res}/test_no_header.csv") is False
+
+
+def test_read_csv_header_auto(spark, tmp_path):
+    """header='auto' (now the default) reads a headered file with its
+    column names and a headerless file positionally — the r2 'delegated
+    to caller' gap closed."""
+    from caterpillar_spark.sources.csv_schema import csv_has_header
+
+    withhdr = str(tmp_path / "hdr.csv")
+    with open(withhdr, "w") as fh:
+        fh.write("id,comment\n")
+        for i in range(30):
+            fh.write(f"{i},a rather long free text answer with words {i}\n")
+    df, roles = read_csv_with_schema(spark, withhdr)
+    assert df.columns == ["id", "comment"]
+    assert df.count() == 30
+
+    nohdr = str(tmp_path / "nohdr.csv")
+    with open(nohdr, "w") as fh:
+        for i in range(30):
+            fh.write(f"{i},a rather long free text answer with words {i}\n")
+    df2, _ = read_csv_with_schema(spark, nohdr)
+    assert df2.count() == 30  # first row NOT consumed as a header
+    assert df2.columns[0].startswith("_c")  # positional names
+
+    # empty / single-line degenerate inputs do not raise
+    assert csv_has_header("") is False
+    assert csv_has_header("only,one,row\n") is False

@@ -516,6 +516,58 @@ def test_bm25_doc_matches_wand_on_multifield_corpus(spark):
     frames.unpersist()
 
 
+def test_bm25_doc_multifield_on_persisted_index(spark, tmp_path):
+    """The multi-field distinct-doc df path on a PERSISTED bucketed
+    index: term-bucket pruning via the driver-side hash + the
+    postings-derived scoped doc-lens fallback (no frames attribute on
+    InvertedIndex) must give the same ranking as the in-memory index."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i,
+                title=f"data spark title {i} alpha beta",
+                body=("spark data engine row " * (2 + i % 3)).strip())
+            for i in range(1, 31)
+        ]
+    )
+    frames = build_frames(docs, text_cols=["title", "body"], frame_size=2).cache()
+    mem = MemoryIndex(frames)
+    stored = build_index(frames, str(tmp_path / "mf_idx"), num_buckets=4)
+
+    terms = ["spark", "alpha"]
+    want = [
+        (r["doc_id"], round(r["score"], 8))
+        for r in search(
+            mem, k=30, unit="document", should=terms, scorer="bm25_doc"
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 8))
+        for r in search(
+            stored, k=30, unit="document", should=terms, scorer="bm25_doc"
+        ).collect()
+    ]
+    assert got == want
+
+    # field-scoped doc mode on the persisted index exercises the
+    # postings-derived doc-lens fallback (dl = title tokens only)
+    scoped = [
+        (r["doc_id"], round(r["score"], 8))
+        for r in search(
+            stored, k=30, unit="document", should=["alpha"],
+            scorer="bm25_doc", include_fields=["title"],
+        ).collect()
+    ]
+    scoped_mem = [
+        (r["doc_id"], round(r["score"], 8))
+        for r in search(
+            mem, k=30, unit="document", should=["alpha"],
+            scorer="bm25_doc", include_fields=["title"],
+        ).collect()
+    ]
+    assert scoped == scoped_mem
+    frames.unpersist()
+
+
 @needs_ref
 def test_employee_survey_bigram_goldens(spark):
     """Reference goldens (test_index.py:422-433), REFERENCE-EXACT on the
