@@ -469,6 +469,19 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(emb, qvec, k=10, num_planes=8, num_tables=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the inverted-file construction, the other classic scale
+    path next to hyperplane LSH): 8-centroid deterministic codebook
+    (md5-ranked sample — SQL-reproducible), argmax-cosine cell
+    assignment, nprobe=3 cells exactly scored.  Scan fraction ~3/8;
+    on a cell-partitioned table the filter is partition pruning."""
+    from caterpillar_spark.ops import ann_ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=3)
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 
@@ -524,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "windowed_events": q_windowed_events,
     }
 
@@ -1074,6 +1088,61 @@ SELECT e.vec_id,
             * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
          6) AS cosine
 FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+""",
+        # IVF oracle: same deterministic md5-ranked codebook, argmax-
+        # cosine cell assignment (unrounded cosine, centroid-id
+        # tiebreak) and nprobe=3 nearest-centroid cells as the engine —
+        # dot/norm folds are sequential in both engines so the doubles
+        # compare identically.
+        "ann_ivf_topk": """
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS cv
+    FROM embeddings
+    ORDER BY md5(vec_id::VARCHAR), vec_id
+    LIMIT 8
+),
+cn AS (
+    SELECT cid, cv,
+           sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+    FROM cent
+),
+n AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+    FROM embeddings
+),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, cn.cid,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_sum(list_transform(range(1, len(n.embedding) + 1),
+                            i -> n.embedding[i]::DOUBLE * cn.cv[i]::DOUBLE))
+                            / (n.nrm * cn.cnrm) DESC,
+                            cn.cid ASC) AS rn
+        FROM n CROSS JOIN cn
+    ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+probe AS (
+    SELECT cid FROM cn CROSS JOIN q
+    ORDER BY list_sum(list_transform(range(1, len(cv) + 1),
+             i -> cv[i]::DOUBLE * q.qv[i]::DOUBLE)) / (cnrm * q.qnrm) DESC,
+             cid ASC
+    LIMIT 3
+)
+SELECT e.vec_id,
+       round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                     x -> x::DOUBLE * x::DOUBLE))) * q.qnrm),
+             6) AS cosine
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probe p ON p.cid = a.cid
+CROSS JOIN q
 ORDER BY cosine DESC, e.vec_id ASC
 LIMIT 10
 """,

@@ -41,6 +41,9 @@ from caterpillar_spark.ops.similarity import (
     embedding_near_dups,
     hyperplane_lsh_buckets,
     ann_topk,
+    ivf_centroids,
+    ivf_assign_col,
+    ann_ivf_topk,
 )
 
 __all__ = [
@@ -62,6 +65,9 @@ __all__ = [
     "embedding_near_dups",
     "hyperplane_lsh_buckets",
     "ann_topk",
+    "ivf_centroids",
+    "ivf_assign_col",
+    "ann_ivf_topk",
     "decode_media",
     "encode_fake_media",
     "media_features",

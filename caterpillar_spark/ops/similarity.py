@@ -207,6 +207,108 @@ def embedding_lsh_candidates(
     return res.distinct()
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[tuple]:
+    """Deterministic IVF coarse-quantizer codebook: the ``n_centroids``
+    rows ranked first by ``md5(id)`` — a seedless uniform sample that is
+    exactly reproducible in ANSI SQL (``ORDER BY md5(id), id LIMIT n``),
+    which keeps the driver oracle exact.  At 100 TB the codebook would
+    come from k-means over exactly such a sample; every downstream piece
+    (broadcast codebook, argmax assignment, nprobe cell pruning) is
+    identical either way, so this exercises the real scale path.
+
+    Returns ``[(cid, [float, ...]), ...]`` — small by construction
+    (codebooks are ≤ 2^16 entries even at 10^9 vectors), always
+    broadcast, never a shuffle side.
+    """
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign_col(vec_col: str, centroids: List[tuple]) -> Column:
+    """Column: the centroid id this row's vector belongs to — argmax
+    cosine over the broadcast codebook, ties to the smallest centroid
+    id.  Pure JVM expression (one struct-array min over literal
+    centroid arrays): assignment is a narrow map, no shuffle, and a
+    table written partitioned by the result is partition-prunable by
+    probe cell at query time."""
+    v = F.col(vec_col).cast("array<double>")
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(x) for x in cvec]).cast("array<double>")
+        entries.append(
+            F.struct(
+                (-(cosine_col(v, c))).alias("negcos"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k (the inverted-file ANN construction, the
+    other classic scale path next to hyperplane LSH — see
+    :func:`ann_topk`): every vector belongs to its nearest codebook
+    centroid's cell; a query exactly scores only the ``nprobe`` cells
+    whose centroids are nearest the query.
+
+    Scan fraction ≈ ``nprobe / n_centroids`` in expectation.  The probe
+    decision is driver-side over the tiny codebook (no Spark job); the
+    one distributed pass is: narrow assignment map (broadcast codebook)
+    → cell filter → exact cosine → TakeOrderedAndProject.  On a
+    cell-partitioned persisted table the filter becomes partition
+    pruning and the scan touches only nprobe/n_centroids of the files.
+    Ordering uses the unrounded cosine (bit-identical fold order across
+    engines); only the reported column is rounded.
+    """
+    import math
+
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    qd = [float(x) for x in query_vec]
+    qn_acc = 0.0
+    for x in qd:
+        qn_acc += x * x
+    qn = math.sqrt(qn_acc)
+
+    def _pycos(cvec):
+        dot, nn = 0.0, 0.0
+        for x, y in zip(cvec, qd):
+            dot += x * y
+        for x in cvec:
+            nn += x * x
+        return dot / (math.sqrt(nn) * qn)
+
+    probe = [
+        cid
+        for cid, _ in sorted(cents, key=lambda e: (-_pycos(e[1]), e[0]))[:nprobe]
+    ]
+    q = F.array(*[F.lit(x) for x in qd]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.where(ivf_assign_col(vec_col, cents).isin(probe))
+        .select(F.col(id_col), F.round(cosine_col(v, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],

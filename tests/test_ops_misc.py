@@ -107,6 +107,78 @@ def test_ann_topk_subset_of_bruteforce_space(spark):
     assert got[0]["vec_id"] == 3
 
 
+def test_ann_ivf_topk_exact_within_probed_cells(spark):
+    """IVF results are exactly the brute-force top-k restricted to the
+    nprobe probed cells; nprobe=n_centroids degenerates to the exact
+    brute-force ranking; assignment matches the naive argmax."""
+    from caterpillar_spark.ops import (
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_assign_col,
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(80, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+
+    # nprobe = n_centroids scans everything -> identical to brute force
+    full = ann_ivf_topk(emb, q, k=10, n_centroids=4, nprobe=4).collect()
+    exact = cosine_topk(emb, q, k=10).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+
+    # nprobe < n_centroids: results == brute force over the probed cells
+    cents = ivf_centroids(emb, 4)
+    assigned = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id", ivf_assign_col("embedding", cents).alias("cid")
+        ).collect()
+    }
+    # naive argmax assignment agrees
+    import numpy.linalg as la
+
+    for i in (0, 17, 42):
+        sims = [
+            (-(vecs[i] @ np.array(cv, dtype="float64"))
+             / (la.norm(vecs[i].astype("float64")) * la.norm(cv)), cid)
+            for cid, cv in cents
+        ]
+        assert assigned[i] == min(sims)[1]
+
+    got = ann_ivf_topk(emb, q, k=10, n_centroids=4, nprobe=2).collect()
+    probed = {
+        cid
+        for cid, _ in sorted(
+            (
+                (c[0], c[1])
+                for c in cents
+            ),
+            key=lambda e: (
+                -(np.array(e[1]) @ np.array(q))
+                / (la.norm(e[1]) * la.norm(q)),
+                e[0],
+            ),
+        )[:2]
+    }
+    in_cells = [i for i in range(80) if assigned[i] in probed]
+    sims = {
+        i: float(np.array(q) @ vecs[i].astype("float64"))
+        / (la.norm(q) * float(la.norm(vecs[i].astype("float64"))))
+        for i in in_cells
+    }
+    want = sorted(in_cells, key=lambda i: (-round(sims[i], 6), i))[:10]
+    assert [r["vec_id"] for r in got] == want
+    # own cell is always probed -> the query vector itself is returned
+    assert got[0]["vec_id"] == 0
+
+
 def test_quality_scores_ranges(spark):
     from caterpillar_spark.ops import quality_scores
 
