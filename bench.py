@@ -253,6 +253,17 @@ def main() -> None:
         4,
     )
 
+    from caterpillar_spark.ops import ann_ivf_topk
+
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    queries["ann_ivf_topk"] = round(
+        bench_query(
+            lambda: run(ann_ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=3)),
+            warmups=0, reps=1,
+        ),
+        4,
+    )
+
     total = round(sum(queries.values()), 4)
     out = {
         "metric": "index-build docs/sec + BM25 top-10 p50 (caterpillar_spark)",
