@@ -376,6 +376,19 @@ def q_minhash_lsh(spark, sf_dir):
     return lsh_candidates(sigs, num_hashes=16, bands=4)
 
 
+def q_minhash_lsh_capped(spark, sf_dir):
+    """Hot-bucket-capped LSH candidates (the 100 TB path, r3 verdict
+    #1): per (band, bucket) only the B=1 member with smallest md5(id)
+    becomes a hub and pairs are emitted hub x member — linear in bucket
+    size, never quadratic; CC recovers full clusters by transitivity.
+    At sf0.01 the cap is non-vacuous: 24 pairs vs 25 uncapped (the
+    size-3 buckets lose their non-hub edge)."""
+    from caterpillar_spark.ops import lsh_candidates, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=16, shingle_n=3)
+    return lsh_candidates(sigs, num_hashes=16, bands=4, max_bucket_size=1)
+
+
 def q_simhash(spark, sf_dir):
     from caterpillar_spark.ops import simhash
 
@@ -530,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_capped": q_minhash_lsh_capped,
         "near_dup_clusters": q_near_dup_clusters,
         "topk_stored_docs": q_topk_stored_docs,
         "simhash": q_simhash,
@@ -941,6 +955,13 @@ SELECT f.doc_id, f.fp, g.survivor_id, g.group_size,
 FROM f JOIN g ON f.fp = g.fp
 """,
         "minhash_lsh": _minhash_oracle(),
+        # Star-capped variant: hubs = smallest-md5(id) member per
+        # (band, bucket); pairs = hub x member (the engine's
+        # max_bucket_size=1 construction, reproduced exactly in SQL).
+        "minhash_lsh_capped": (
+            f"WITH {_minhash_cands_ctes(3, max_bucket_size=1)}\n"
+            "SELECT id_a, id_b FROM cand"
+        ),
         # Exact connected components over the same md5-reproduced LSH
         # candidate pairs: recursive transitive closure, min node per
         # component (tiny graph at oracle scale).
@@ -1169,12 +1190,20 @@ def _shingle_array_expr(n: int) -> str:
     )
 
 
-def _minhash_cands_ctes(shingle_n: int, num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_cands_ctes(
+    shingle_n: int,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> str:
     """CTE chain ``t, sh, sigs, bands, cand`` — MinHash signatures over
     word n-shingles banded ``bands`` x ``rows``, the same
     universal-hash family as the engine (ops/dedup.py: one md5 base per
     shingle, then ``(a_i*base + b_i) mod 2^31-1``), so ``cand`` is the
-    exact LSH candidate set."""
+    exact LSH candidate set.  With ``max_bucket_size`` the pair
+    generation reproduces the engine's hot-bucket star cap: per
+    (band, bucket) the B smallest-md5(id) members are hubs and pairs
+    are hub x member (least/greatest normalized)."""
     from caterpillar_spark.ops.dedup import MERSENNE31, minhash_params
 
     rows_per_band = num_hashes // bands
@@ -1191,6 +1220,27 @@ def _minhash_cands_ctes(shingle_n: int, num_hashes: int = 16, bands: int = 4) ->
         )
         band_exprs.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
     bands_union = "\nUNION ALL\n".join(band_exprs)
+    if max_bucket_size is None:
+        cand = """cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)"""
+    else:
+        cand = f"""hubs AS (
+    SELECT doc_id, band, bh FROM (
+        SELECT doc_id, band, bh,
+               row_number() OVER (PARTITION BY band, bh
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        FROM bands
+    ) WHERE rk <= {max_bucket_size}
+),
+cand AS (
+    SELECT DISTINCT least(m.doc_id, h.doc_id) AS id_a,
+                    greatest(m.doc_id, h.doc_id) AS id_b
+    FROM bands m
+    JOIN hubs h ON m.band = h.band AND m.bh = h.bh AND m.doc_id <> h.doc_id
+)"""
     return f"""t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
 sh AS (
     SELECT doc_id, unnest({_shingle_array_expr(shingle_n)}) AS shingle
@@ -1204,11 +1254,7 @@ sigs AS (
 bands AS (
 {bands_union}
 ),
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-)"""
+{cand}"""
 
 
 def _minhash_oracle() -> str:

@@ -93,15 +93,39 @@ class InvertedIndex:
         with open(os.path.join(self.path, "manifest.json")) as f:
             return json.load(f)
 
+    def cache_epoch(self):
+        """Epoch key for query-engine memoization (term statistics,
+        corpus constants, field lists): the manifest revision, re-read
+        per query (one local JSON read — cheap).  Appends/deletes bump
+        the revision, so a handle retained across an ``append_batch``
+        to the same path re-resolves its statistics instead of scoring
+        new postings with stale df/N (the r3 advisory)."""
+        try:
+            return self.manifest.get("revision")
+        except FileNotFoundError:
+            return None
+
     def _table(self, name: str) -> str:
         """Resolve a table directory, recovering from a crash inside
         :func:`_swap_dir`'s brief absence window: if the live dir is
         missing but its ``.old`` sibling survives, rename it back
-        before reading."""
+        before reading.
+
+        Two readers can race this recovery (both see the live dir
+        missing; one wins the rename, the other's raises) — the loser
+        re-checks and proceeds against the winner's result instead of
+        surfacing a spurious FileNotFoundError (the r3 advisory).  A
+        reader can also revive ``.old`` while a *writer* is between its
+        two renames; the writer side handles that (see
+        :func:`_swap_dir`)."""
         p = os.path.join(self.path, name)
         old = p + ".old"
         if not os.path.exists(p) and os.path.isdir(old):
-            os.rename(old, p)
+            try:
+                os.rename(old, p)
+            except OSError:
+                if not os.path.exists(p):
+                    raise
         return p
 
     def postings(self) -> DataFrame:
@@ -196,7 +220,19 @@ def _swap_dir(final: str, tmp: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(final):
         os.rename(final, old)
-    os.rename(tmp, final)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # A concurrent reader's crash recovery (InvertedIndex._table)
+        # revived `.old` back to `final` inside the rename window.  The
+        # revived dir holds the OLD data — move it aside again and
+        # retry the commit rather than aborting the rewrite.
+        if os.path.exists(final):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(final, old)
+            os.rename(tmp, final)
+        else:
+            raise
     shutil.rmtree(old, ignore_errors=True)
 
 

@@ -178,13 +178,35 @@ def lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: Optional[int] = None,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """LSH banding: candidate pairs agreeing on at least one band.
 
     Result: (id_a, id_b) with id_a < id_b, distinct.  The join key is
-    (band_index, md5-of-band-signature); hot buckets (boilerplate pages)
-    are the skew risk at scale — cap them upstream by filtering
-    ``group_size`` on an exact-dedup pass first.
+    (band_index, md5-of-band-signature).
+
+    **Hot-bucket capping** (``max_bucket_size=B`` — the 100 TB path):
+    uncapped, a boilerplate family of m near-identical (but not
+    byte-identical, so exact-dedup keeps them) pages lands in one
+    bucket and emits m²/2 pairs — at m=10^6 that is ~5×10^11 rows from
+    a single key, the quadratic scale-killer on real crawl data.  With
+    the cap, each (band, bucket)'s B members with smallest
+    ``md5(id)`` (deterministic under any partitioning) become the
+    bucket's *hubs*, and pairs are emitted hub × member instead of
+    member × member: pair volume per bucket falls from m²/2 to ≤ m·B,
+    while every member stays connected to a hub, so
+    :func:`near_dup_clusters` still recovers the FULL duplicate
+    cluster by transitivity.  (Capping both sides — "pairs within the
+    kept B only" — would disconnect the other m−B members and silently
+    drop them from the cluster; the star shape is the
+    recall-preserving cap.)  The only pairs lost are non-hub–non-hub
+    edges *within the same bucket*, which transitivity reconstructs.
+
+    ``metrics``: pass a dict to receive ``metrics['bucket_cap']``, a
+    ``pyspark.sql.Observation`` whose ``.get`` exposes
+    ``capped_buckets`` / ``total_buckets`` once the returned relation
+    has been materialized (the audible skew accounting).
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -201,20 +223,74 @@ def lsh_candidates(
     exploded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band", "b.bh")
-    a = exploded.alias("a")
-    b_ = exploded.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_bucket_size is None:
+        a = exploded.alias("a")
+        b_ = exploded.alias("b")
+        return (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
         )
+
+    from pyspark.sql.window import Window
+
+    # Hub ranking: one shuffle on the bucket key; the hot bucket sorts
+    # m rows in one task (linear-ish), never materializes m² pairs.
+    w = Window.partitionBy("band", "bh").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = exploded.withColumn("_rk", F.row_number().over(w))
+    if metrics is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("lsh_bucket_cap")
+        # exactly one row per bucket has _rk == 1 (total) and one has
+        # _rk == B+1 iff the bucket overflowed (capped) — countable
+        # without DISTINCT, which Observation disallows.
+        ranked = ranked.observe(
+            obs,
+            F.sum(
+                F.when(F.col("_rk") == max_bucket_size + 1, 1).otherwise(0)
+            ).alias("capped_buckets"),
+            F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0)).alias(
+                "total_buckets"
+            ),
+        )
+        metrics["bucket_cap"] = obs
+    hubs = ranked.where(F.col("_rk") <= max_bucket_size).select(
+        F.col(id_col).alias("_hub"), "band", "bh"
+    )
+    return (
+        exploded.join(hubs, ["band", "bh"])
+        .where(F.col(id_col) != F.col("_hub"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.least(id_col, "_hub").alias("id_a"),
+            F.greatest(id_col, "_hub").alias("id_b"),
         )
         .distinct()
     )
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort eager release of a ``localCheckpoint``-ed DataFrame's
+    cached blocks.  Spark's ContextCleaner reclaims checkpoint blocks
+    when the DataFrame is garbage-collected anyway; this explicit
+    release keeps long iterative loops (CC label propagation) from
+    holding every superseded round's relation in the block manager
+    until a GC happens (the r3 advisory).  Touches the LogicalRDD leaf
+    through py4j, so it is guarded: on any failure the GC path still
+    applies."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def near_dup_clusters(
@@ -280,6 +356,7 @@ def near_dup_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        _release_checkpoint(labels)  # superseded round's blocks
         labels = new_labels
         if changed == 0:
             break
@@ -297,6 +374,7 @@ def near_dup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    _release_checkpoint(edges)  # the result references only `labels`
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

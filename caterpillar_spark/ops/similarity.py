@@ -164,6 +164,8 @@ def embedding_lsh_candidates(
     vec_col: str = "embedding",
     probe_hamming: int = 1,
     num_tables: int = 1,
+    max_bucket_size: Optional[int] = None,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """Candidate pairs for near-dup search: vectors whose hyperplane-LSH
     buckets differ by at most ``probe_hamming`` bits in at least one of
@@ -175,6 +177,19 @@ def embedding_lsh_candidates(
     sizes, never the full cross product; tables union before the
     distinct.  More tables trade candidate volume for recall
     (≈ 1-(1-p_1)^L).  Result: (id_a, id_b), id_a < id_b, distinct.
+
+    **Hot-bucket capping** (``max_bucket_size=B`` — the 100 TB path,
+    same construction as :func:`caterpillar_spark.ops.dedup
+    .lsh_candidates`): a boilerplate family of m near-identical
+    embeddings shares one bucket and would emit m²/2 pairs.  With the
+    cap, the joined (non-probed) side keeps only each bucket's B
+    *hubs* — the members with smallest ``md5(id)``, deterministic —
+    so pair volume per bucket is ≤ m·B·(1+probes) while every member
+    (probed side, uncapped) still reaches a hub, and connected
+    components recover the full cluster by transitivity.  ``metrics``
+    receives one ``Observation`` per table
+    (``metrics[f'bucket_cap_t{t}']``) with
+    ``capped_buckets`` / ``total_buckets``.
     """
     outs = []
     for t in range(num_tables):
@@ -196,11 +211,42 @@ def embedding_lsh_candidates(
             F.explode(F.array(*variants)).alias("bucket"),
         )
         other = bucketed.select(F.col(id_col).alias("id_b"), "bucket")
-        outs.append(
-            probed.join(other, "bucket")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
+        if max_bucket_size is not None:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("bucket").orderBy(
+                F.md5(F.col("id_b").cast("string")), F.col("id_b")
+            )
+            ranked = other.withColumn("_rk", F.row_number().over(w))
+            if metrics is not None:
+                from pyspark.sql import Observation
+
+                obs = Observation(f"embedding_lsh_bucket_cap_t{t}")
+                ranked = ranked.observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("_rk") == max_bucket_size + 1, 1).otherwise(0)
+                    ).alias("capped_buckets"),
+                    F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0)).alias(
+                        "total_buckets"
+                    ),
+                )
+                metrics[f"bucket_cap_t{t}"] = obs
+            other = ranked.where(F.col("_rk") <= max_bucket_size).drop("_rk")
+            outs.append(
+                probed.join(other, "bucket")
+                .where(F.col("id_a") != F.col("id_b"))
+                .select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                )
+            )
+        else:
+            outs.append(
+                probed.join(other, "bucket")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
     res = outs[0]
     for o in outs[1:]:
         res = res.union(o)

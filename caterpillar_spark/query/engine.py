@@ -131,6 +131,29 @@ def _groups(
     return rows
 
 
+def _handle_cache(index, attr: str) -> dict:
+    """Memoization store scoped to (index handle, cache epoch).
+
+    ``cache_epoch()`` (InvertedIndex: the manifest revision, one cheap
+    local JSON read per query) moves when the on-disk index changes —
+    ``append_batch`` / ``delete_documents`` bump the revision — so a
+    handle retained across an append drops its stale term statistics
+    and corpus constants instead of scoring new postings with old df/N
+    (the r3 advisory: missing terms were cached as None forever).
+    Handles without an epoch (MemoryIndex, CompressedIndex over a
+    pinned file listing) get a constant ``None`` epoch — the
+    immutable-by-convention behavior, unchanged."""
+    epoch = getattr(index, "cache_epoch", lambda: None)()
+    store = getattr(index, attr, None)
+    if store is None or store[0] != epoch:
+        store = (epoch, {})
+        try:
+            object.__setattr__(index, attr, store)
+        except (AttributeError, TypeError):
+            pass
+    return store[1]
+
+
 def _field_scope(df: DataFrame, include_fields, exclude_fields) -> DataFrame:
     if include_fields:
         return df.where(F.col("field").isin(list(include_fields)))
@@ -184,18 +207,16 @@ def filter_metadata(frames: DataFrame, metadata, schema=None) -> DataFrame:
 
 def _fields_in_scope(index, include_fields, exclude_fields) -> List[str]:
     """Distinct indexed fields after scoping (one tiny collect, memoized
-    per index handle — field_stats has one row per field, or per
-    (field, batch) on an incrementally-appended index)."""
-    fields = getattr(index, "_fields_cache", None)
+    per (index handle, manifest revision) — field_stats has one row per
+    field, or per (field, batch) on an incrementally-appended index)."""
+    cache = _handle_cache(index, "_fields_cache")
+    fields = cache.get("fields")
     if fields is None:
         fields = sorted(
             r["field"]
             for r in index.field_stats().select("field").distinct().collect()
         )
-        try:
-            object.__setattr__(index, "_fields_cache", fields)
-        except (AttributeError, TypeError):
-            pass
+        cache["fields"] = fields
     if include_fields:
         return [f for f in fields if f in set(include_fields)]
     if exclude_fields:
@@ -278,13 +299,7 @@ def _resolve_weights(
         tuple(exclude_fields) if exclude_fields else None,
         doc_mode,
     )
-    ff_cache = getattr(index, "_term_ff_cache", None)
-    if ff_cache is None:
-        ff_cache = {}
-        try:
-            object.__setattr__(index, "_term_ff_cache", ff_cache)
-        except (AttributeError, TypeError):
-            pass
+    ff_cache = _handle_cache(index, "_term_ff_cache")
     lookup = [t for t in term_values if (ff_scope, t) not in ff_cache]
     if lookup:
         if doc_mode and len(
@@ -318,22 +333,15 @@ def _resolve_weights(
         if ff_cache[(ff_scope, t)] is not None
     }
 
-    # Corpus constants are per-(index, field-scope) invariants — memoize
-    # on the index handle so repeated queries run one collect, not two.
-    # (Handles are cheap and immutable-by-convention: take a fresh
-    # InvertedIndex after incremental appends change the statistics.)
+    # Corpus constants are per-(index revision, field-scope) invariants
+    # — memoize on the epoch-keyed handle cache so repeated queries run
+    # one collect, not two, and appends to the same path invalidate.
     scope_key = (
         tuple(include_fields) if include_fields else None,
         tuple(exclude_fields) if exclude_fields else None,
         doc_mode,
     )
-    cache = getattr(index, "_consts_cache", None)
-    if cache is None:
-        cache = {}
-        try:
-            object.__setattr__(index, "_consts_cache", cache)
-        except (AttributeError, TypeError):
-            pass
+    cache = _handle_cache(index, "_consts_cache")
     if scope_key in cache:
         n_units, avgdl = cache[scope_key]
     elif doc_mode:

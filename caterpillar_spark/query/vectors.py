@@ -69,8 +69,29 @@ def vocabulary(postings: DataFrame) -> DataFrame:
 
     Ids start at 1 and follow the sort order exactly.  The ranged
     relation is persisted + materialized (MEMORY_AND_DISK) so the count
-    job and the final query see the identical partition assignment.
+    job and the final query see the identical partition assignment —
+    and *unpersisted* before returning (the r3 advisory: the persist
+    leaked for the session).  The returned relation is an eager
+    ``localCheckpoint`` of the result: it no longer references the
+    unpersisted intermediate, and its blocks are released by Spark's
+    ContextCleaner when the returned DataFrame is dropped
+    (handle-scoped ownership).
     """
+    ranged, out = _vocabulary_plan(postings)
+    try:
+        # eager localCheckpoint: materializes against the persisted
+        # partition assignment, then owns its own blocks
+        out = out.localCheckpoint()
+    finally:
+        ranged.unpersist()
+    return out
+
+
+def _vocabulary_plan(postings: DataFrame):
+    """(persisted ranged relation, lazy dense-id plan) — split out so
+    plan-shape tests can inspect the construction plan, which the
+    public :func:`vocabulary` hides behind its checkpoint.  Callers own
+    unpersisting ``ranged``."""
     from pyspark.sql.window import Window
 
     spark = postings.sparkSession
@@ -100,13 +121,14 @@ def vocabulary(postings: DataFrame) -> DataFrame:
     w = Window.partitionBy("_pid").orderBy(
         F.desc("total_freq"), F.asc("term")
     )
-    return (
+    out = (
         ranged.withColumn(
             "term_id", (F.row_number().over(w) + off).cast("int")
         )
         .drop("_pid")
         .select("term", "total_freq", "term_id")
     )
+    return ranged, out
 
 
 def metadata_inversion(

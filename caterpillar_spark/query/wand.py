@@ -136,17 +136,19 @@ def _term_doc_freqs(
 ) -> dict:
     """Per-term document frequency from the block metadata (sum of
     n_docs — no decode), memoized per index handle: df is a static
-    index property, so repeated queries over the same terms skip the
-    pre-pass job entirely (the r2 shape ran posting_list_stats + collect
-    before every query — the driver-bench wand regression's main
-    suspect)."""
-    cache = getattr(index, "_df_cache", None)
-    if cache is None:
-        cache = {}
-        try:
-            object.__setattr__(index, "_df_cache", cache)
-        except (AttributeError, TypeError):
-            pass
+    property of this handle, so repeated queries over the same terms
+    skip the pre-pass job entirely (the r2 shape ran
+    posting_list_stats + collect before every query — the driver-bench
+    wand regression's main suspect).
+
+    Staleness note: a ``CompressedIndex`` pins its parquet file listing
+    at construction (Spark's InMemoryFileIndex snapshot), so the memo
+    can never drift from what this handle scores — handle and cache age
+    together.  After ``append_batch`` take a fresh handle
+    (``InvertedIndex.compressed()`` builds one per call)."""
+    from caterpillar_spark.query.engine import _handle_cache
+
+    cache = _handle_cache(index, "_df_cache")
     missing = [t for t in terms if t not in cache]
     if missing:
         rows = (

@@ -112,6 +112,16 @@ def append_batch(
         # reporting clean against a partial ledger.  Backfill the ledger
         # from the postings' distinct frames first (one full postings
         # column scan — a one-time migration cost per legacy index).
+        # Deviation (documented): a frame whose tokens were ALL
+        # stop-marked carries no postings, so its length is missing from
+        # the backfilled dl — same deviation as delete_documents'
+        # pseudo-frames; an original-build ledger has the exact dl.
+        # The write is staged (docs.backfill -> _swap_dir): a crash
+        # mid-backfill must not leave a partial docs/ dir that the next
+        # append's isdir gate would treat as a complete ledger (r3
+        # advisory).
+        from caterpillar_spark.indexing.build import _swap_dir
+
         backfill = (
             spark.read.parquet(os.path.join(path, "postings"))
             .select("doc_id", "field", "frame_seq", "frame_tokens")
@@ -119,14 +129,19 @@ def append_batch(
             .groupBy("doc_id")
             .agg(F.sum("frame_tokens").cast("long").alias("dl"))
         )
+        tmp = docs_path + ".backfill"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
         (
             backfill.repartitionByRange(
                 max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
             )
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
-            .parquet(docs_path)
+            .parquet(tmp)
         )
+        _swap_dir(docs_path, tmp)
 
     if on_existing != "allow" and os.path.isdir(docs_path):
         new_ids = frames.select("doc_id").distinct()
