@@ -156,6 +156,25 @@ def q_wand_bm25_topk(spark, sf_dir):
     return _rounded(wand_topk(_compressed_cached(sf_dir), TOPK_TERMS, k=K))
 
 
+def q_bm25_batch_topk(spark, sf_dir):
+    """Batch multi-query execution (r4): two BM25 top-k queries scored
+    in ONE Spark job — the union of both term sets drives one broadcast
+    join, one grouped aggregation, one per-query window top-k.  Result
+    rows per query are identical to the single-query path (pytest
+    parity, tests/test_batch_query.py); here the oracle is the UNION
+    ALL of the two per-query SQL top-ks."""
+    from caterpillar_spark.query import search_many
+
+    idx = _index_cached(sf_dir)
+    specs = {
+        "qa": {"should": TOPK_TERMS},
+        "qb": {"should": ["join", "hash"]},
+    }
+    return _rounded(
+        search_many(idx, specs, k=K, unit="document", scorer="bm25")
+    )
+
+
 def q_posting_list_stats(spark, sf_dir):
     from caterpillar_spark.indexing.postinglists import posting_list_stats
 
@@ -322,6 +341,22 @@ def q_ngram_search(spark, sf_dir):
     return search_ngram(idx.postings(), ["spark", "join"]).select(
         "doc_id", "matches"
     )
+
+
+def q_ngram_search_compressed(spark, sf_dir):
+    """Phrase search over the COMPRESSED positions layout (r4): the
+    same exact-adjacency semantics as ngram_search, executed by the
+    mapPartitions kernel over delta+varint position streams in
+    doc-range blocks (query/phrase.py) — shares ngram_search's SQL
+    oracle because the result relation is identical."""
+    from caterpillar_spark.indexing.postinglists import build_position_lists
+    from caterpillar_spark.query.phrase import search_ngram_compressed
+
+    idx = _index_cached(sf_dir)
+    pos = build_position_lists(idx.postings(), num_buckets=8, block_bits=3)
+    return search_ngram_compressed(
+        pos, ["spark", "join"], num_buckets=8, block_bits=3
+    ).select("doc_id", "matches")
 
 
 # --------------------------------------------------------------------------
@@ -522,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_doc_topk": q_bm25_doc_topk,
         "wand_bm25_topk": q_wand_bm25_topk,
+        "bm25_batch_topk": q_bm25_batch_topk,
         "posting_list_stats": q_posting_list_stats,
         "metadata_search": q_metadata_search,
         "metadata_wildcard": q_metadata_wildcard,
@@ -535,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacent_bigrams": q_adjacent_bigrams,
         "significant_bigrams": q_significant_bigrams,
         "ngram_search": q_ngram_search,
+        "ngram_search_compressed": q_ngram_search_compressed,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "gopher_quality": q_gopher_quality,
@@ -739,6 +776,42 @@ SELECT doc_id, score FROM (
     GROUP BY t.doc_id
 ) ORDER BY score DESC, doc_id ASC LIMIT {K}
 """,
+        # Two single-query BM25 oracles stitched with literal query ids
+        # — the batch path must reproduce each exactly.
+        "bm25_batch_topk": f"""
+WITH {_TOK}
+SELECT 'qa' AS query_id, doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(
+               ln(1.0 + (c.n - s.ff + 0.5) / (s.ff + 0.5))
+               * (t.freq * 2.2)
+               / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN stats s ON t.term = s.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN consts c
+    WHERE t.term IN ({topk})
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id ASC LIMIT {K}
+)
+UNION ALL
+SELECT 'qb' AS query_id, doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(
+               ln(1.0 + (c.n - s.ff + 0.5) / (s.ff + 0.5))
+               * (t.freq * 2.2)
+               / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN stats s ON t.term = s.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN consts c
+    WHERE t.term IN ('join', 'hash')
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id ASC LIMIT {K}
+)
+""",
         "posting_list_stats": f"""
 WITH {_TOK}
 SELECT term,
@@ -840,6 +913,15 @@ CROSS JOIN vocab v
 WHERE p.n_frames * v.v / (sa.ff * sb.ff) > 0.005
 """,
         "ngram_search": f"""
+WITH {_TOK}
+SELECT a.doc_id, count(*)::INT AS matches
+FROM tok a
+JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'spark' AND b.term = 'join'
+GROUP BY a.doc_id
+""",
+        # identical relation, computed over the compressed layout
+        "ngram_search_compressed": f"""
 WITH {_TOK}
 SELECT a.doc_id, count(*)::INT AS matches
 FROM tok a

@@ -157,6 +157,26 @@ def main() -> None:
         4,
     )
 
+    # Batch multi-query amortization: 16 BM25 queries in ONE Spark job
+    # through the WAND kernel (r4).  The per-query number this records
+    # is the serving-latency lever: single-query p50 is dominated by
+    # job-scheduling overhead, which the batch pays once.
+    from caterpillar_spark.query.wand import wand_topk_many
+
+    _POOL = [
+        "spark", "table", "join", "hash", "vector", "stream", "index",
+        "query", "data", "filter", "sort", "merge", "group", "count",
+        "read", "write",
+    ]
+    many = {
+        f"q{i}": [_POOL[i], _POOL[(i + 3) % len(_POOL)]]
+        for i in range(16)
+    }
+    wand_many_s = bench_query(
+        lambda: run(wand_topk_many(cidx, many, k=10)), warmups=1, reps=3
+    )
+    queries["wand_many16"] = round(wand_many_s, 4)
+
     queries["bm25_doc_topk"] = round(
         bench_query(
             lambda: run(
@@ -274,6 +294,7 @@ def main() -> None:
         "n_docs": n_docs,
         "index_build_docs_per_sec": round(docs_per_sec, 2),
         "bm25_p50_sec": round(bm25_p50, 4),
+        "wand_many16_per_query_sec": round(wand_many_s / 16, 4),
         "cpus": cpus,
     }
     print(json.dumps(out))

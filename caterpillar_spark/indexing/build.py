@@ -173,6 +173,13 @@ class InvertedIndex:
         """Compressed posting-list block rows (postinglists.py layout)."""
         return self.spark.read.parquet(self._table("lists"))
 
+    def position_lists(self) -> DataFrame:
+        """Compressed position rows (POSITION_LIST_SCHEMA) — present
+        when the index was built ``with_positions=True``; phrase/ngram
+        search runs over this instead of the raw postings
+        (query/phrase.py)."""
+        return self.spark.read.parquet(self._table("positions"))
+
     def compressed(self):
         """CompressedIndex view for the WAND query engine."""
         from caterpillar_spark.query.wand import CompressedIndex
@@ -244,6 +251,7 @@ def build_index(
     resume: bool = True,
     block_bits: int = 4,
     source: Optional[str] = None,
+    with_positions: bool = False,
 ) -> InvertedIndex:
     """Build (or resume building) the inverted index at ``path``.
 
@@ -267,8 +275,16 @@ def build_index(
     ``source`` (optional) records the source document table's path in
     the manifest as the stored-document pointer
     (:meth:`InvertedIndex.stored_documents`).
+
+    ``with_positions`` additionally writes the compressed positions
+    layout (``positions/``, POSITION_LIST_SCHEMA) per slice, so
+    phrase/ngram search runs over delta+varint position streams
+    instead of the raw postings parquet (query/phrase.py).
     """
-    from caterpillar_spark.indexing.postinglists import build_posting_lists
+    from caterpillar_spark.indexing.postinglists import (
+        build_position_lists,
+        build_posting_lists,
+    )
 
     spark = frames.sparkSession
     loaded = _load_manifest(path) if resume else None
@@ -295,6 +311,10 @@ def build_index(
         checkpoint_groups = manifest.get("checkpoint_groups", checkpoint_groups)
     if source is not None:
         manifest["source"] = source
+    if with_positions:
+        manifest["with_positions"] = True
+    elif manifest.get("with_positions"):
+        with_positions = True  # resumed build keeps its layouts
 
     # The build reads the frames relation several times (corpus
     # constants, doc lengths, both posting layouts per slice, field
@@ -361,6 +381,21 @@ def build_index(
             .parquet(os.path.join(path, "lists"))
         )
 
+    def write_positions(slice_df):
+        (
+            build_position_lists(
+                slice_df.drop("term_bucket"),
+                num_buckets=num_buckets,
+                block_bits=manifest["block_bits"],
+            )
+            .repartition(wp, "term")
+            .sortWithinPartitions("term_bucket", "term", "block")
+            .write.partitionBy("term_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "positions"))
+        )
+
     def write_term_stats():
         # The pipeline is deterministic in `frames`, so the in-memory
         # postings relation equals what the slices persisted (also on
@@ -415,11 +450,11 @@ def build_index(
             slice_df = posts.where(
                 (F.col("term_bucket") >= lo) & (F.col("term_bucket") < hi)
             )
-            slice_futs.append(
-                (key, lo, hi,
-                 [pool.submit(write_postings, slice_df),
-                  pool.submit(write_lists, slice_df)])
-            )
+            futs = [pool.submit(write_postings, slice_df),
+                    pool.submit(write_lists, slice_df)]
+            if with_positions:
+                futs.append(pool.submit(write_positions, slice_df))
+            slice_futs.append((key, lo, hi, futs))
         stats_futs = []
         if not manifest.get("stats_done"):
             stats_futs = [pool.submit(write_term_stats),
@@ -512,6 +547,8 @@ def optimize_index(index: InvertedIndex) -> InvertedIndex:
         "postings": (index.postings(), ["term", "doc_id", "frame_seq"]),
         "lists": (index.lists(), ["term", "block"]),
     }
+    if os.path.isdir(os.path.join(index.path, "positions")):
+        plans["positions"] = (index.position_lists(), ["term", "block"])
     staging = {}
     for name, (df, sort_cols) in plans.items():
         tmp = os.path.join(index.path, f"_{name}.compact")
@@ -644,8 +681,12 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 1.0)
     num_buckets = manifest["num_buckets"]
 
+    names = ["postings", "lists", "term_stats", "field_stats", "docs"]
+    has_positions = os.path.isdir(os.path.join(index.path, "positions"))
+    if has_positions:
+        names.append("positions")
     staging = {}
-    for name in ("postings", "lists", "term_stats", "field_stats", "docs"):
+    for name in names:
         staging[name] = os.path.join(index.path, f"_{name}.rewrite")
         shutil.rmtree(staging[name], ignore_errors=True)
 
@@ -667,6 +708,19 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
         .write.partitionBy("term_bucket").mode("overwrite")
         .parquet(staging["lists"])
     )
+    if has_positions:
+        from caterpillar_spark.indexing.postinglists import build_position_lists
+
+        (
+            build_position_lists(
+                remaining.drop("term_bucket"),
+                num_buckets=num_buckets,
+                block_bits=manifest.get("block_bits", 4),
+            )
+            .repartition("term_bucket").sortWithinPartitions("term", "block")
+            .write.partitionBy("term_bucket").mode("overwrite")
+            .parquet(staging["positions"])
+        )
     (
         term_statistics(remaining.drop("term_bucket"))
         .withColumn(

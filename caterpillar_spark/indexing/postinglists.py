@@ -198,6 +198,121 @@ def build_posting_lists(
     return grouped.mapInPandas(encode, schema=POSTING_LIST_SCHEMA)
 
 
+#: Compressed POSITIONS layout — one row per (term, block, field),
+#: doc-range-aligned with POSTING_LIST_SCHEMA blocks so phrase search
+#: shuffles on the same ``block`` key WAND does.  ``data`` is one
+#: varint stream: per frame (sorted by unsigned doc, then frame_seq)
+#: ``[doc_gap, frame_seq, n_pos, pos_0, pos_gap...]`` where doc_gap is
+#: the unsigned delta from the previous frame's doc (0 = same doc;
+#: first frame's doc is ``first_doc``).  This closes the r3 gap where
+#: phrase/ngram queries had to scan the RAW postings parquet — a
+#: second, uncompressed layout — at 100 TB.
+POSITION_LIST_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("term_bucket", IntegerType(), False),
+        StructField("block", IntegerType(), False),
+        StructField("field", StringType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("first_doc", LongType(), False),
+        StructField("data", BinaryType(), True),
+    ]
+)
+
+
+def build_position_lists(
+    postings: DataFrame,
+    num_buckets: int = 64,
+    block_bits: int = DEFAULT_BLOCK_BITS,
+) -> DataFrame:
+    """Frame-level (term, frame, positions) postings -> compressed
+    position rows (POSITION_LIST_SCHEMA).
+
+    Same skew-proof construction as :func:`build_posting_lists`: the
+    shuffle key is (term, block, field), so a hot term's position data
+    shards over all 2^block_bits doc-range blocks; encoding runs in an
+    Arrow-batched ``mapInPandas`` with ONE varint encode per row (the
+    per-frame values are flattened into a single stream first)."""
+    shift = 64 - block_bits
+    sign_bit = -(2**63)
+    keyed = postings.select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias(
+            "term_bucket"
+        ),
+        F.shiftrightunsigned(F.col("doc_id"), shift).cast("int").alias("block"),
+        "field",
+        F.col("doc_id").bitwiseXOR(F.lit(sign_bit)).alias("ukey"),
+        "doc_id",
+        "frame_seq",
+        "positions",
+    )
+    grouped = keyed.groupBy("term", "term_bucket", "block", "field").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ukey", "frame_seq", "doc_id", "positions"))
+        ).alias("plist")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for term, bucket, block, field, plist in pdf.itertuples(index=False):
+                flat: list = []
+                prev_u = None
+                first_doc = int(plist[0]["doc_id"])
+                for fr in plist:
+                    u = int(fr["ukey"]) + 2**63  # unsigned reinterpretation
+                    flat.append(0 if prev_u is None else u - prev_u)
+                    prev_u = u
+                    pos = fr["positions"]
+                    flat.append(int(fr["frame_seq"]))
+                    flat.append(len(pos))
+                    prev_p = 0
+                    for j, p in enumerate(pos):
+                        flat.append(int(p) if j == 0 else int(p) - prev_p)
+                        prev_p = int(p)
+                out.append(
+                    (
+                        term,
+                        int(bucket),
+                        int(block),
+                        field,
+                        len(plist),
+                        first_doc,
+                        encode_varints(flat),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in POSITION_LIST_SCHEMA.fields]
+            )
+
+    return grouped.mapInPandas(encode, schema=POSITION_LIST_SCHEMA)
+
+
+def decode_position_row(row):
+    """One POSITION_LIST_SCHEMA row -> list of (doc_id, frame_seq,
+    positions ndarray) — the single source of truth for the decode used
+    by the phrase kernel (query/phrase.py) and tests."""
+    vals = decode_varints(row["data"])
+    n = row["n_frames"]
+    out = []
+    u = np.int64(row["first_doc"]).astype(np.uint64)
+    i = 0
+    first = True
+    for _ in range(n):
+        # decode_varints reinterprets mod-2^64 values as signed; the
+        # unsigned doc gap needs the uint64 view back
+        gap = np.int64(vals[i]).astype(np.uint64); i += 1
+        u = u if first else u + gap
+        first = False
+        fseq = int(vals[i]); i += 1
+        npos = int(vals[i]); i += 1
+        pos = np.cumsum(vals[i : i + npos])
+        i += npos
+        out.append((int(u.astype(np.int64)), fseq, pos))
+    return out
+
+
 def decode_block(row) -> pd.DataFrame:
     """One block row -> DataFrame(doc_id, tf, dl); test/debug helper and
     the single source of truth for the decode used by the WAND scorer."""

@@ -3,6 +3,7 @@
 from caterpillar_spark.query.engine import (
     MemoryIndex,
     search,
+    search_many,
     filter_frames,
     filter_metadata,
 )
@@ -17,6 +18,7 @@ from caterpillar_spark.query.composition import (
 __all__ = [
     "MemoryIndex",
     "search",
+    "search_many",
     "filter_frames",
     "filter_metadata",
     "match_all",

@@ -491,6 +491,158 @@ def filter_frames(
     return agg.where(cond).select(*keys, "score")
 
 
+def search_many(
+    index,
+    queries: Dict[str, dict],
+    k: int = 10,
+    unit: str = "frame",
+    scorer: str = "tfidf",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    metadata: Optional[dict] = None,
+    include_fields: Optional[Sequence[str]] = None,
+    exclude_fields: Optional[Sequence[str]] = None,
+    schema=None,
+) -> DataFrame:
+    """Ranked top-k for Q queries in ONE Spark job.
+
+    ``queries`` maps query_id -> a boolean spec dict with any of
+    ``must`` / ``should`` / ``at_least_n`` / ``must_not`` (the
+    :func:`filter_frames` arguments); scorer/unit/field-scope/metadata
+    are shared across the batch.  Result: one relation
+    ``(query_id, <unit keys>, score)`` holding each query's top-k in
+    rank order — per-query rows identical to :func:`search`.
+
+    Why: the bench shows ~0.5-1 s per query is Spark job-scheduling
+    latency, not scan cost (BASELINE.md).  Batching amortizes it: the
+    union of all queries' terms drives ONE broadcast join into the
+    postings scan (still bucket-pruned to the union's term buckets),
+    one partial-aggregated groupBy keyed by (query_id, unit), and one
+    per-query window top-k — a term shared by several queries is
+    scanned once.  Statistics resolve driver-side from the same
+    epoch-keyed cache the single-query path uses, so a warm batch runs
+    exactly one Spark job for Q queries.
+    """
+    if not queries:
+        raise ValueError("queries must be a non-empty {query_id: spec} dict")
+    spark = index.frames.sparkSession if isinstance(index, MemoryIndex) else index.spark
+
+    all_rows: List[Tuple[str, str, int, str]] = []
+    per_query: Dict[str, List[Tuple[str, int, str]]] = {}
+    for qid, spec in queries.items():
+        rows = _groups(
+            spec.get("must", ()),
+            spec.get("should", ()),
+            spec.get("at_least_n") or None,
+            spec.get("must_not", ()),
+        )
+        if not any(kind != "exclude" for _, _, kind in rows):
+            raise ValueError(
+                f"query {qid!r} needs at least one positive term "
+                "(must/should/at_least_n)"
+            )
+        per_query[qid] = rows
+        all_rows.extend((qid, t, g, kind) for t, g, kind in rows)
+
+    weights, n_units, avgdl = _resolve_weights(
+        index, [(t, g, kind) for _, t, g, kind in all_rows],
+        include_fields, exclude_fields, scorer,
+    )
+
+    empty_schema = (
+        "query_id string, doc_id long, field string, frame_seq int, score double"
+        if unit == "frame"
+        else "query_id string, doc_id long, score double"
+    )
+    live = {
+        qid: rows
+        for qid, rows in per_query.items()
+        if any(weights[t] != 0.0 for t, _, kind in rows if kind != "exclude")
+    }
+    if not live:
+        return spark.createDataFrame([], empty_schema)
+
+    qrows = []
+    for qid, rows in live.items():
+        n_must = len({g for _, g, kind in rows if kind == "must"})
+        nmin = (queries[qid].get("at_least_n") or (0, ()))[0]
+        qrows.extend(
+            (qid, t, g, kind, float(weights[t]), n_must, nmin)
+            for t, g, kind in rows
+        )
+    qdf = spark.createDataFrame(
+        qrows,
+        "query_id string, term string, group_id int, kind string, "
+        "weight double, n_must int, nmin int",
+    )
+
+    union_terms = sorted({t for _, t, _, _, _, _, _ in qrows})
+    posts = _pruned_postings(index, spark, union_terms)
+    posts = _field_scope(posts, include_fields, exclude_fields)
+    if metadata:
+        posts = posts.where(metadata_predicate(metadata, schema=schema))
+
+    joined = posts.join(F.broadcast(qdf), "term")
+
+    positive = F.col("kind") != "exclude"
+    if scorer == "bm25_doc":
+        if unit != "document":
+            raise ValueError("scorer='bm25_doc' requires unit='document'")
+        per_term = joined.groupBy(
+            "query_id", "doc_id", "term", "group_id", "kind",
+            "weight", "n_must", "nmin",
+        ).agg(F.sum("freq").alias("tf"))
+        joined = per_term.join(
+            _scoped_doc_lens(index, include_fields, exclude_fields), "doc_id"
+        )
+        contrib = F.col("weight") * (
+            F.col("tf") * (k1 + 1.0)
+        ) / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+    elif scorer == "bm25":
+        contrib = F.col("weight") * (
+            F.col("freq") * (k1 + 1.0)
+        ) / (
+            F.col("freq")
+            + k1 * (1.0 - b + b * F.col("frame_tokens") / F.lit(avgdl))
+        )
+    else:
+        contrib = F.col("freq") * F.col("weight")
+
+    keys = ["doc_id"] if unit == "document" else ["doc_id", "field", "frame_seq"]
+    agg = joined.groupBy("query_id", *keys).agg(
+        F.sum(F.when(positive, contrib).otherwise(0.0)).alias("score"),
+        F.countDistinct(
+            F.when(F.col("kind") == "must", F.col("group_id"))
+        ).alias("_must_hits"),
+        F.countDistinct(
+            F.when(F.col("kind") == "nmin", F.col("group_id"))
+        ).alias("_nmin_hits"),
+        F.max(F.when(~positive, 1).otherwise(0)).alias("_excluded"),
+        F.max(F.when(positive, 1).otherwise(0)).alias("_positive"),
+        F.max("n_must").alias("_n_must"),  # per-query constants
+        F.max("nmin").alias("_nmin"),
+    )
+    qualified = agg.where(
+        (F.col("_excluded") == 0)
+        & (F.col("_positive") == 1)
+        & (F.col("_must_hits") == F.col("_n_must"))
+        & (F.col("_nmin_hits") >= F.col("_nmin"))
+    )
+
+    from pyspark.sql.window import Window
+
+    order = [F.desc("score")] + [F.asc(c) for c in keys]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        qualified.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .select("query_id", *keys, "score")
+    )
+
+
 def search(
     index,
     k: int = 10,

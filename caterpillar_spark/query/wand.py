@@ -317,3 +317,191 @@ def wand_topk(
         rows.rdd.mapPartitions(score_partition), "doc_id long, score double"
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_topk_many(
+    index: CompressedIndex,
+    queries: dict,
+    k: int = 10,
+    mode: str = "or",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    num_partitions: Optional[int] = None,
+    prune: bool = True,
+    metrics: Optional[dict] = None,
+) -> DataFrame:
+    """BM25 top-k for Q queries in ONE Spark job over the compressed
+    index — per-query results identical to :func:`wand_topk`.
+
+    ``queries`` maps query_id -> term list; ``mode`` is shared
+    (``must_not`` is single-query-path only).  Result:
+    ``(query_id, doc_id, score)``, each query's exact top-k.
+
+    Why: per-query wall clock is dominated by Spark job scheduling
+    (~0.5-1 s, BASELINE.md), not scan work.  Here the union of all
+    queries' terms is read in one bucket-pruned pass, each block is
+    decoded AT MOST ONCE even when many queries share its terms, and
+    every task keeps one top-k heap per query — Q queries cost one job
+    plus the incremental per-query numpy aggregation.  Block-max
+    pruning stays per-query exact: a block group is decoded iff at
+    least one query's bound beats that query's running kth score
+    (``metrics['blocks_skipped']`` counts groups no query needed).
+    """
+    qterms = {qid: sorted(set(ts)) for qid, ts in queries.items()}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    spark = index.lists.sparkSession
+    if not all_terms or not qterms:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double"
+        )
+    pruned = _prune_terms(index, all_terms)
+    stats = _term_doc_freqs(index, pruned, all_terms)
+    n = float(index.n_docs)
+    idf = {
+        t: float(np.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)))
+        for t, df_t in stats.items()
+    }
+    conjunctive = mode == "and"
+    # per query: (terms present in the index, required presence count)
+    qspec = {}
+    for qid, ts in qterms.items():
+        present = [t for t in ts if t in idf]
+        if not present:
+            continue
+        if conjunctive and len(present) < len(ts):
+            continue  # a required term is absent from the corpus
+        qspec[qid] = (present, len(ts) if conjunctive else 0)
+    if not qspec:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double"
+        )
+    needed_terms = sorted({t for terms, _ in qspec.values() for t in terms})
+
+    rows = pruned.select(*_NEEDED).where(F.col("term").isin(needed_terms))
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    if index.block_bits:
+        parts = min(parts, 2 ** index.block_bits)
+    rows = rows.repartition(parts, "block").sortWithinPartitions("block")
+
+    from caterpillar_spark.indexing.codec import decode_doc_gaps, decode_varints
+
+    avgdl = index.avgdl
+    acc_skipped = acc_scored = None
+    if metrics is not None:
+        acc_skipped = spark.sparkContext.accumulator(0)
+        acc_scored = spark.sparkContext.accumulator(0)
+        metrics["blocks_skipped"] = acc_skipped
+        metrics["blocks_scored"] = acc_scored
+    emit_cap = k + 32
+
+    def score_partition(it: Iterator) -> Iterator[tuple]:
+        # by_term holds a LIST of rows per term: an incrementally
+        # appended index has one (term, block) row per batch.
+        groups: dict = {}
+        for r in it:
+            groups.setdefault(r["block"], {}).setdefault(r["term"], []).append(r)
+        if not groups:
+            return
+        # best-first by the max over queries of the block's query bound;
+        # per-term bound = idf * max over the term's rows (each doc
+        # lives in exactly one batch row, so the max bounds every doc)
+        scored: List[tuple] = []
+        for block, by_term in groups.items():
+            tb = {
+                t: idf[t] * max(r["max_score_q"] for r in rs)
+                for t, rs in by_term.items()
+            }
+            bounds = {
+                qid: sum(tb.get(t, 0.0) for t in terms)
+                for qid, (terms, _) in qspec.items()
+            }
+            scored.append((max(bounds.values()), block, by_term, bounds))
+        scored.sort(key=lambda x: -x[0])
+
+        heaps = {qid: [] for qid in qspec}
+        emits = {qid: [] for qid in qspec}
+        for _, block, by_term, bounds in scored:
+            active = []
+            for qid, (terms, nreq) in qspec.items():
+                if bounds[qid] <= 0.0:
+                    continue  # no query term in this doc range
+                if conjunctive and any(t not in by_term for t in terms):
+                    continue  # block-level intersection miss
+                h = heaps[qid]
+                if prune and len(h) == k and bounds[qid] < h[0]:
+                    continue  # block-max skip for this query
+                active.append((qid, terms, nreq))
+            if not active:
+                if acc_skipped is not None:
+                    acc_skipped.add(1)
+                continue
+            if acc_scored is not None:
+                acc_scored.add(1)
+            # decode each needed term ONCE per block, share across queries
+            decoded: dict = {}
+            for t in {t for _, terms, _ in active for t in terms}:
+                rs = by_term.get(t)
+                if not rs:
+                    continue
+                d_parts, s_parts = [], []
+                w = idf[t]
+                for r in rs:
+                    nd = r["n_docs"]
+                    d_parts.append(
+                        decode_doc_gaps(r["first_doc"], r["doc_gaps"], nd)
+                    )
+                    tf = decode_varints(r["freqs"])[:nd].astype(np.float64)
+                    dl = decode_varints(r["doc_lens"])[:nd].astype(np.float64)
+                    # same exact association as wand_topk: contribution
+                    # is bounded by idf*max_score_q bit-exactly
+                    s_parts.append(
+                        w * (
+                            tf * (k1 + 1.0)
+                            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                        )
+                    )
+                decoded[t] = (
+                    np.concatenate(d_parts), np.concatenate(s_parts)
+                )
+            for qid, terms, nreq in active:
+                parts_d = [decoded[t][0] for t in terms if t in decoded]
+                parts_s = [decoded[t][1] for t in terms if t in decoded]
+                if not parts_d:
+                    continue
+                all_docs = np.concatenate(parts_d)
+                all_scores = np.concatenate(parts_s)
+                uniq, inv = np.unique(all_docs, return_inverse=True)
+                sums = np.bincount(inv, weights=all_scores)
+                if conjunctive:
+                    counts = np.bincount(inv)
+                    keep = counts == nreq
+                    uniq, sums = uniq[keep], sums[keep]
+                heap, emit = heaps[qid], emits[qid]
+                for d, s in zip(uniq, sums):
+                    fs, fd = float(s), int(d)
+                    if len(heap) < k:
+                        heapq.heappush(heap, fs)
+                    elif fs > heap[0]:
+                        heapq.heapreplace(heap, fs)
+                    if len(emit) < emit_cap:
+                        heapq.heappush(emit, (fs, -fd))
+                    elif (fs, -fd) > emit[0]:
+                        heapq.heapreplace(emit, (fs, -fd))
+        for qid, emit in emits.items():
+            for s, nd in sorted(emit, key=lambda x: (-x[0], -x[1])):
+                yield (qid, -nd, s)
+
+    out = spark.createDataFrame(
+        rows.rdd.mapPartitions(score_partition),
+        "query_id string, doc_id long, score double",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .select("query_id", "doc_id", "score")
+    )

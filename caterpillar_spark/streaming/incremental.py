@@ -194,6 +194,19 @@ def append_batch(
         .write.partitionBy("term_bucket").mode("append")
         .parquet(os.path.join(path, "lists"))
     )
+    if manifest.get("with_positions"):
+        from caterpillar_spark.indexing.postinglists import build_position_lists
+
+        (
+            build_position_lists(
+                posts.drop("term_bucket"),
+                num_buckets=num_buckets,
+                block_bits=manifest["block_bits"],
+            )
+            .repartition("term_bucket").sortWithinPartitions("term", "block")
+            .write.partitionBy("term_bucket").mode("append")
+            .parquet(os.path.join(path, "positions"))
+        )
     (
         term_statistics(posts.drop("term_bucket"))
         .withColumn(
