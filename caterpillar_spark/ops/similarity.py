@@ -280,6 +280,65 @@ def ivf_centroids(
     return [(r[0], [float(x) for x in r[1]]) for r in rows]
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 10,
+    sample_size: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[tuple]:
+    """Trained IVF codebook: deterministic spherical k-means (Lloyd)
+    over the md5-ranked sample (r3 verdict #3 — the sampled codebook's
+    at-scale slot-in, now implemented).
+
+    * Sample: the first ``sample_size`` rows by ``md5(id)`` — the same
+      seedless deterministic order :func:`ivf_centroids` uses, collected
+      once; at 10^9+ vectors the sample size stays constant, so the
+      collect is O(sample), never O(corpus).
+    * Init: the sample's first ``n_centroids`` rows — exactly the
+      sampled codebook, so ``iters=0`` reproduces it bit-for-bit and
+      the two codebooks are directly comparable.
+    * Iterations: assign each sample vector to its max-cosine centroid
+      (ties to the smallest centroid id — the same rule as
+      :func:`ivf_assign_col`), recompute each centroid as the
+      normalized mean of its members (spherical k-means), keep empty
+      cells' previous centroid.  Pure numpy on the driver:
+      deterministic, no RNG, no Spark jobs beyond the one sample read.
+
+    Returns ``[(cid, [float, ...]), ...]`` with dense integer cids —
+    feed it to :func:`ann_ivf_topk` via ``centroids=``.
+    """
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    import numpy as np
+
+    X = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    C = Xn[:n_centroids].copy()
+    for _ in range(max(iters, 0)):
+        assign = np.argmax(Xn @ C.T, axis=1)  # ties -> smallest cid
+        newC = C.copy()
+        for j in range(n_centroids):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    newC[j] = m / nrm
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return [(j, [float(x) for x in C[j]]) for j in range(n_centroids)]
+
+
 def ivf_assign_col(vec_col: str, centroids: List[tuple]) -> Column:
     """Column: the centroid id this row's vector belongs to — argmax
     cosine over the broadcast codebook, ties to the smallest centroid
@@ -308,6 +367,7 @@ def ann_ivf_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: Optional[List[tuple]] = None,
 ) -> DataFrame:
     """IVF approximate top-k (the inverted-file ANN construction, the
     other classic scale path next to hyperplane LSH — see
@@ -323,10 +383,17 @@ def ann_ivf_topk(
     pruning and the scan touches only nprobe/n_centroids of the files.
     Ordering uses the unrounded cosine (bit-identical fold order across
     engines); only the reported column is rounded.
+
+    ``centroids`` overrides the codebook: pass
+    :func:`ivf_train_centroids` output for the trained (k-means)
+    quantizer — the default stays the SQL-reproducible md5-ranked
+    sample so the driver oracle keeps certifying this row.
     """
     import math
 
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_centroids, id_col, vec_col
+    )
     qd = [float(x) for x in query_vec]
     qn_acc = 0.0
     for x in qd:

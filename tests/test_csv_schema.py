@@ -73,3 +73,37 @@ def test_read_csv_header_auto(spark, tmp_path):
     # empty / single-line degenerate inputs do not raise
     assert csv_has_header("") is False
     assert csv_has_header("only,one,row\n") is False
+
+
+def test_resolve_header_falls_back_when_unsniffable(tmp_path):
+    """The r3 advisory: header='auto' must never be weaker than the old
+    header='true' default — remote paths and local paths without a
+    readable plain-text *.csv head fall back to 'true' instead of
+    raising driver-side."""
+    from caterpillar_spark.sources.csv_schema import resolve_csv_header
+
+    # remote filesystems: no driver-side head to read
+    assert resolve_csv_header("s3a://bucket/data.csv") == "true"
+    assert resolve_csv_header("hdfs://nn/warehouse/t") == "true"
+    # local directory holding only compressed parts
+    gz_dir = tmp_path / "gzdir"
+    gz_dir.mkdir()
+    (gz_dir / "part-000.csv.gz").write_bytes(b"\x1f\x8b\x08\x00binary")
+    assert resolve_csv_header(str(gz_dir)) == "true"
+    # nonexistent path: Spark will raise its own error later; the sniff
+    # must not preempt it with a FileNotFoundError of its own
+    assert resolve_csv_header(str(tmp_path / "missing")) == "true"
+    # explicit override passes through untouched
+    assert resolve_csv_header("s3a://bucket/x.csv", header="false") == "false"
+    # a sniffable local file still sniffs
+    hdr = tmp_path / "h.csv"
+    with open(hdr, "w") as fh:
+        fh.write("id,comment\n")
+        for i in range(30):
+            fh.write(f"{i},quite a long free text answer with many words {i}\n")
+    assert resolve_csv_header(str(hdr)) == "true"
+    nohdr = tmp_path / "n.csv"
+    with open(nohdr, "w") as fh:
+        for i in range(30):
+            fh.write(f"{i},quite a long free text answer with many words {i}\n")
+    assert resolve_csv_header(str(nohdr)) == "false"

@@ -261,3 +261,35 @@ def test_windowed_event_counts_batch_vs_manual(spark):
         .collect()
     }
     assert got == manual and len(got) > 0
+
+
+def test_retained_handle_sees_appended_statistics(spark, tmp_path):
+    """The r3 advisory: engine statistic caches memoize on the index
+    handle; after append_batch to the same path, a RETAINED handle must
+    re-resolve df/N (caches key on the manifest revision now) instead
+    of scoring with stale weights — a term first probed as missing must
+    be found once an append introduces it."""
+    from caterpillar_spark.indexing.build import build_index
+    from caterpillar_spark.query import filter_frames
+    from caterpillar_spark.streaming.incremental import append_batch
+
+    docs = spark.createDataFrame(
+        [(1, "plain words only here", "en"), (2, "more plain words", "en")],
+        "doc_id long, text string, lang string",
+    )
+    idx = build_index(
+        build_frames(docs, metadata_cols=["lang"]),
+        str(tmp_path / "idx"), num_buckets=4,
+    )
+    # probe a not-yet-indexed term: cached as missing for this revision
+    assert filter_frames(idx, should=["zzznew"], unit="document").count() == 0
+
+    extra = spark.createDataFrame(
+        [(3, "zzznew term zzznew arrives", "en")],
+        "doc_id long, text string, lang string",
+    )
+    append_batch(build_frames(extra, metadata_cols=["lang"]), str(tmp_path / "idx"))
+
+    # SAME handle object: revision moved, cache must invalidate
+    rows = filter_frames(idx, should=["zzznew"], unit="document").collect()
+    assert [r["doc_id"] for r in rows] == [3]
