@@ -129,6 +129,17 @@ def test_persisted_index_phrase_lifecycle(spark, tmp_path):
     )
     assert hits == [(1, 1), (3, 1), (3, 1)]  # doc 3: one per frame
 
+    # compaction rewrites the positions table too (one sorted run per
+    # bucket) and must preserve the matches
+    from caterpillar_spark.indexing.build import optimize_index
+
+    idx = optimize_index(idx)
+    hits = sorted(
+        (r["doc_id"], r["matches"])
+        for r in search_ngram_index(idx, ["varint", "codec"]).collect()
+    )
+    assert hits == [(1, 1), (3, 1), (3, 1)]
+
     idx = delete_documents(idx, [3])
     hits = [(r["doc_id"], r["matches"])
             for r in search_ngram_index(idx, ["varint", "codec"]).collect()]
