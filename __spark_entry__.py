@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 BOOL_TERMS_MUST = ["spark", "join"]
 BOOL_TERMS_SHOULD = ["vector", "stream"]
 TOPK_TERMS = ["spark", "table"]
+FUZZY_TERM = "fash"  # edit-distance-1 ball on this corpus: {fast, hash}
+PREFIX = "s"  # expands to {scan, slow, small, sort, spark, stream}
 K = 20
 
 
@@ -233,6 +235,40 @@ def q_vocabulary(spark, sf_dir):
 
     idx = _index_cached(sf_dir)
     return vocabulary(idx.postings())
+
+
+def q_fuzzy_terms(spark, sf_dir):
+    """Edit-distance-1 vocabulary expansion of 'fash' (SymSpell
+    deletion-neighborhood candidates, levenshtein-verified exact):
+    {fast, hash} on the synthetic corpus."""
+    from caterpillar_spark.query.expand import fuzzy_terms
+
+    idx = _index_cached(sf_dir)
+    return fuzzy_terms(idx, FUZZY_TERM, max_edits=1)
+
+
+def q_fuzzy_search_topk(spark, sf_dir):
+    """Ranked tf-idf retrieval over the edit-distance ball of 'fash'
+    (the expansion is one variant group — any variant matches)."""
+    from caterpillar_spark.query.expand import fuzzy_search
+
+    idx = _index_cached(sf_dir)
+    return _rounded(
+        fuzzy_search(
+            idx, FUZZY_TERM, max_edits=1, k=K, unit="document", scorer="tfidf"
+        )
+    )
+
+
+def q_prefix_search_topk(spark, sf_dir):
+    """Ranked tf-idf retrieval for 's*' (6-term prefix expansion as one
+    variant group)."""
+    from caterpillar_spark.query.expand import prefix_search
+
+    idx = _index_cached(sf_dir)
+    return _rounded(
+        prefix_search(idx, PREFIX, k=K, unit="document", scorer="tfidf")
+    )
 
 
 def q_metadata_inversion(spark, sf_dir):
@@ -564,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_only": q_metadata_only,
         "tf_vectors": q_tf_vectors,
         "vocabulary": q_vocabulary,
+        "fuzzy_terms": q_fuzzy_terms,
+        "fuzzy_search_topk": q_fuzzy_search_topk,
+        "prefix_search_topk": q_prefix_search_topk,
         "metadata_inversion": q_metadata_inversion,
         "filter_range": q_filter_range,
         "attribute_filter": q_attribute_filter,
@@ -857,6 +896,34 @@ WITH {_TOK}
 SELECT term, tot AS total_freq,
        row_number() OVER (ORDER BY tot DESC, term ASC)::INT AS term_id
 FROM stats
+""",
+        "fuzzy_terms": f"""
+WITH {_TOK}
+SELECT term, levenshtein(term, '{FUZZY_TERM}')::INT AS distance
+FROM (SELECT DISTINCT term FROM tok)
+WHERE levenshtein(term, '{FUZZY_TERM}') <= 1
+""",
+        # One variant group = any matched term qualifies the doc; tf-idf
+        # sums per-term (group membership only gates the must count).
+        "fuzzy_search_topk": f"""
+WITH {_TOK}
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+    FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+    WHERE levenshtein(t.term, '{FUZZY_TERM}') <= 1
+    GROUP BY t.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        "prefix_search_topk": f"""
+WITH {_TOK}
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+    FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+    WHERE t.term LIKE '{PREFIX}%'
+    GROUP BY t.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
 """,
         "metadata_inversion": """
 WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang)

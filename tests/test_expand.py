@@ -1,0 +1,132 @@
+"""Fuzzy / prefix term expansion (query/expand.py).
+
+The exactness contract: fuzzy_terms == brute-force Levenshtein ball
+over the vocabulary, for vocabularies engineered to contain
+deletion-neighborhood false positives ("ab"/"ba" share deletions at
+distance 2-apart) and true positives of every edit kind
+(substitution, insertion, deletion, identity).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from caterpillar_spark.framing import build_frames
+from caterpillar_spark.query import MemoryIndex, search
+from caterpillar_spark.query.expand import (
+    deletion_index,
+    fuzzy_search,
+    fuzzy_terms,
+    prefix_search,
+    prefix_terms,
+)
+
+VOCAB = [
+    "table", "tables", "tble", "cable", "tab", "tale",   # 1-edit family
+    "stable", "tibble",                                   # 2-edit family
+    "ab", "ba", "spark", "spa", "span", "sort", "part",
+]
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(VOCAB[i:] + VOCAB[:i])) for i in range(len(VOCAB))],
+        "doc_id long, text string",
+    )
+    frames = build_frames(docs, text_cols=["text"], frame_size=0)
+    return MemoryIndex(frames)
+
+
+@pytest.mark.parametrize("query", ["table", "tble", "ab", "spark", "xyzzy"])
+@pytest.mark.parametrize("max_edits", [1, 2])
+def test_fuzzy_exact_vs_bruteforce(index, query, max_edits):
+    got = {
+        (r["term"], r["distance"])
+        for r in fuzzy_terms(index, query, max_edits).collect()
+    }
+    want = {
+        (t, _lev(t, query)) for t in VOCAB if _lev(t, query) <= max_edits
+    }
+    assert got == want
+
+
+def test_fuzzy_via_precomputed_deletion_index(index):
+    di = deletion_index(index, max_edits=1)
+    direct = {
+        (r["term"], r["distance"])
+        for r in fuzzy_terms(index, "table", 1).collect()
+    }
+    probed = {
+        (r["term"], r["distance"])
+        for r in fuzzy_terms(index, "table", 1, deletion_df=di).collect()
+    }
+    assert probed == direct and direct  # non-vacuous
+
+
+def test_fuzzy_max_expansions_deterministic(index):
+    rows = fuzzy_terms(index, "table", 2, max_expansions=3).collect()
+    got = [(r["term"], r["distance"]) for r in rows]
+    # distance asc, term asc: the distance-0 match first, then the
+    # lexicographically-first distance-1 matches
+    assert got == [("table", 0), ("cable", 1), ("stable", 1)]
+
+
+def test_prefix_terms(index):
+    got = sorted(r["term"] for r in prefix_terms(index, "ta").collect())
+    assert got == ["tab", "table", "tables", "tale"]
+    capped = [r["term"] for r in prefix_terms(index, "ta", max_expansions=2).collect()]
+    assert capped == ["tab", "table"]
+    with pytest.raises(ValueError):
+        prefix_terms(index, "")
+
+
+def test_fuzzy_search_equals_explicit_variant_group(index):
+    expanded = sorted(
+        r["term"] for r in fuzzy_terms(index, "table", 1).collect()
+    )
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(index, must=[tuple(expanded)], k=5, unit="document").collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in fuzzy_search(index, "table", 1, k=5, unit="document").collect()
+    ]
+    assert got == want and got
+
+
+def test_prefix_search_equals_explicit_variant_group(index):
+    expanded = sorted(r["term"] for r in prefix_terms(index, "sp").collect())
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(index, must=[tuple(expanded)], k=5, unit="document").collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in prefix_search(index, "sp", k=5, unit="document").collect()
+    ]
+    assert got == want and got
+
+
+def test_no_match_raises(index):
+    with pytest.raises(ValueError, match="matched no vocabulary terms"):
+        fuzzy_search(index, "qqqqqqqq", 1, k=5)
+
+
+def test_vocab_scan_stays_jvm(index):
+    """The ad-hoc fuzzy scan must be pure JVM (no BatchEvalPython /
+    mapInPandas in the plan) — higher-order functions + levenshtein."""
+    plan = fuzzy_terms(index, "table", 1)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
