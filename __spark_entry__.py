@@ -271,6 +271,14 @@ def q_prefix_search_topk(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: top-unigram/bigram instance
+    fractions + duplicate-trigram fraction per document."""
+    from caterpillar_spark.ops.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_metadata_inversion(spark, sf_dir):
     """The flat (field, value, n, id) relation IS the primary output
     now (r3: no per-value collect_list anywhere on the scale path —
@@ -603,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_terms": q_fuzzy_terms,
         "fuzzy_search_topk": q_fuzzy_search_topk,
         "prefix_search_topk": q_prefix_search_topk,
+        "repetition_stats": q_repetition_stats,
         "metadata_inversion": q_metadata_inversion,
         "filter_range": q_filter_range,
         "attribute_filter": q_attribute_filter,
@@ -924,6 +933,32 @@ SELECT doc_id, score FROM (
     WHERE t.term LIKE '{PREFIX}%'
     GROUP BY t.doc_id
 ) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        "repetition_stats": f"""
+WITH {_TOK},
+grams AS (
+    SELECT doc_id, 1 AS gs, term AS gram FROM tok
+    UNION ALL
+    SELECT doc_id, 2 AS gs, gram FROM (
+        SELECT doc_id,
+               term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+        FROM tok) WHERE gram IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 3 AS gs, gram FROM (
+        SELECT doc_id,
+               term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS gram
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) WHERE gram IS NOT NULL
+),
+cnt AS (SELECT doc_id, gs, gram, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2, 3),
+agg AS (SELECT doc_id, gs, max(c) AS mx, sum(c) AS tot,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+        FROM cnt GROUP BY 1, 2)
+SELECT doc_id,
+       coalesce(max(CASE WHEN gs = 1 THEN tot END), 0)::BIGINT AS n_tokens,
+       round(coalesce(max(CASE WHEN gs = 1 THEN mx::DOUBLE / tot END), 0), 6) AS top_1gram_frac,
+       round(coalesce(max(CASE WHEN gs = 2 THEN mx::DOUBLE / tot END), 0), 6) AS top_2gram_frac,
+       round(coalesce(max(CASE WHEN gs = 3 THEN dup::DOUBLE / tot END), 0), 6) AS dup_3gram_frac
+FROM agg GROUP BY doc_id
 """,
         "metadata_inversion": """
 WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang)

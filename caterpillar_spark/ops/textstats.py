@@ -202,6 +202,95 @@ def gopher_quality_flags(
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngrams: Sequence[int] = (1, 2),
+    dup_ngrams: Sequence[int] = (3,),
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): for
+    each ``n`` in ``top_ngrams`` the fraction of n-gram instances taken
+    by the single most frequent n-gram (``top_{n}gram_frac``), and for
+    each ``n`` in ``dup_ngrams`` the fraction of n-gram instances whose
+    n-gram occurs more than once (``dup_{n}gram_frac``) — the
+    boilerplate/templated-page detectors that complement
+    :func:`gopher_quality_flags`' length/stopword rules.  Also emits
+    ``n_tokens``.
+
+    Shape at scale: ONE pass builds every requested gram size as a
+    struct array JVM-side (higher-order functions), a single explode
+    feeds two partial-aggregated ``groupBy`` stages both keyed by
+    ``doc_id`` — cost linear in corpus tokens × len(gram sizes), no
+    skew (keys are documents), no Python.
+    """
+    sizes = sorted(set(top_ngrams) | set(dup_ngrams))
+    if not sizes or min(sizes) < 1:
+        raise ValueError("gram sizes must be >= 1")
+    if 1 not in sizes:
+        sizes = [1] + sizes  # unigram totals define n_tokens
+
+    def gram_expr(g: int) -> str:
+        # positions 1..size-g+1; the greatest() guard keeps sequence()
+        # ascending on empty docs, the filter drops out-of-range starts
+        return (
+            f"transform(filter(sequence(1, greatest(size(toks), 1)), "
+            f"i -> i + {g - 1} <= size(toks)), "
+            f"i -> struct({g} AS gs, concat_ws(' ', slice(toks, i, {g})) AS gram))"
+        )
+
+    exploded = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.concat(*[F.expr(gram_expr(g)) for g in sizes])
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.gs").alias("gs"), F.col("g.gram").alias("gram"))
+    )
+    counts = exploded.groupBy("doc_id", "gs", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_size = counts.groupBy("doc_id", "gs").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
+    )
+    aggs = [
+        F.coalesce(
+            F.max(F.when(F.col("gs") == 1, F.col("tot"))), F.lit(0)
+        ).alias("n_tokens")
+    ]
+    for g in top_ngrams:
+        aggs.append(
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("gs") == g, F.col("mx") / F.col("tot"))
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias(f"top_{g}gram_frac")
+        )
+    for g in dup_ngrams:
+        aggs.append(
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("gs") == g, F.col("dup") / F.col("tot"))
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias(f"dup_{g}gram_frac")
+        )
+    return per_size.groupBy("doc_id").agg(*aggs)
+
+
 def fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
