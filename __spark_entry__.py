@@ -271,6 +271,21 @@ def q_prefix_search_topk(spark, sf_dir):
     )
 
 
+def q_highlight_topk(spark, sf_dir):
+    """tf-idf top-K + exact highlight offsets: one row per occurrence
+    of a query term in a top document's stored text, with the 0-based
+    token position and character offset a renderer slices with."""
+    from caterpillar_spark.query.highlight import highlight_search
+
+    idx = _index_cached(sf_dir)
+    stored = _docs(spark, sf_dir).select("doc_id", "text")
+    return _rounded(
+        highlight_search(
+            idx, stored, k=K, unit="document", should=TOPK_TERMS, scorer="tfidf"
+        )
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals: top-unigram/bigram instance
     fractions + duplicate-trigram fraction per document."""
@@ -612,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search_topk": q_fuzzy_search_topk,
         "prefix_search_topk": q_prefix_search_topk,
         "repetition_stats": q_repetition_stats,
+        "highlight_topk": q_highlight_topk,
         "metadata_inversion": q_metadata_inversion,
         "filter_range": q_filter_range,
         "attribute_filter": q_attribute_filter,
@@ -933,6 +949,25 @@ SELECT doc_id, score FROM (
     WHERE t.term LIKE '{PREFIX}%'
     GROUP BY t.doc_id
 ) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        "highlight_topk": f"""
+WITH {_TOK},
+topk AS (
+    SELECT doc_id, score FROM (
+        SELECT t.doc_id,
+               round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+        FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+        WHERE t.term IN ({topk})
+        GROUP BY t.doc_id
+    ) ORDER BY score DESC, doc_id ASC LIMIT {K}
+)
+SELECT k.doc_id, k.score, o.term, o.pos::INT AS pos,
+       (CASE WHEN o.pos = 0 THEN 0
+             ELSE len(array_to_string(list_slice(str_split(d.text, ' '), 1, o.pos), ' ')) + 1
+        END)::INT AS char_offset
+FROM topk k
+JOIN tok o ON o.doc_id = k.doc_id AND o.term IN ({topk})
+JOIN documents d ON d.doc_id = k.doc_id
 """,
         "repetition_stats": f"""
 WITH {_TOK},

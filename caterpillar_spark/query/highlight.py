@@ -1,0 +1,97 @@
+"""Snippet/highlight support: exact term-occurrence offsets in stored text.
+
+Beyond-reference serving surface (the reference stores frames and
+returns them whole; UI-side highlighting is left to the caller —
+here the engine emits the (token position, character offset) pairs a
+renderer needs, computed exactly from the stored text itself so they
+are valid against what the user sees, independent of analyser position
+advances).
+
+Scale shape: the ranked top-k relation is k rows — it broadcast-joins
+into the stored-text relation (a point-lookup join against the
+doc-store layout; at 100 TB the stored side is doc_id-partitioned so
+the join prunes to the touched partitions).  Offset extraction is a
+row-local higher-order-function pass over the k joined rows — no
+shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["term_occurrences", "highlight_search"]
+
+
+def term_occurrences(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    keep: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Occurrences of ``terms`` in ``text_col`` as one row per match:
+    ``(*keep, term, pos, char_offset)``.
+
+    ``pos`` is the 0-based whitespace-token index; ``char_offset`` the
+    0-based character offset of the token in the stored string (exact:
+    both are derived from the stored text, so a renderer can slice the
+    string directly).  Matching is case-insensitive equality on
+    whitespace tokens.
+    """
+    terms = [t.lower() for t in terms]
+    toks = F.split(F.col(text_col), " ")
+    hits = F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.struct(F.lower(x).alias("term"), i.alias("pos")),
+        ),
+        lambda s: s["term"].isin(terms),
+    )
+    out = df.select(*keep, toks.alias("_toks"), F.explode(hits).alias("_h"))
+    pos = F.col("_h.pos")
+    char_offset = F.when(pos == 0, F.lit(0)).otherwise(
+        F.length(F.concat_ws(" ", F.slice(F.col("_toks"), 1, pos))) + 1
+    )
+    return out.select(
+        *keep,
+        F.col("_h.term").alias("term"),
+        pos.alias("pos"),
+        char_offset.cast("int").alias("char_offset"),
+    )
+
+
+def highlight_search(
+    index,
+    stored: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    unit: str = "document",
+    **search_kw,
+) -> DataFrame:
+    """Ranked retrieval + highlight offsets in ONE relation:
+    ``(doc_id[, field, frame_seq], score, term, pos, char_offset)``.
+
+    ``stored`` is the stored-text relation keyed like the search unit
+    (``InvertedIndex.stored_documents()`` for unit='document', or the
+    frames relation with ``text_col='frame_text'`` for unit='frame').
+    The positive query terms (must/should/at_least_n, variants
+    flattened) are the highlight targets.
+    """
+    from caterpillar_spark.query.engine import _groups, search
+
+    rows = _groups(
+        search_kw.get("must", ()),
+        search_kw.get("should", ()),
+        search_kw.get("at_least_n") or None,
+        (),
+    )
+    terms = sorted({t for (t, _gid, kind) in rows if kind != "exclude"})
+    if not terms:
+        raise ValueError("no positive terms to highlight")
+    top = search(index, k=k, unit=unit, **search_kw)
+    keys = [c for c in top.columns if c != "score"]
+    joined = F.broadcast(top).join(stored, on=keys)
+    return term_occurrences(
+        joined, terms, text_col=text_col, keep=[*keys, "score"]
+    )
