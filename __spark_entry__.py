@@ -29,6 +29,7 @@ BOOL_TERMS_SHOULD = ["vector", "stream"]
 TOPK_TERMS = ["spark", "table"]
 FUZZY_TERM = "fash"  # edit-distance-1 ball on this corpus: {fast, hash}
 PREFIX = "s"  # expands to {scan, slow, small, sort, spark, stream}
+SUGGEST_TERM = "sow"  # d<=2 ball: row(1), slow(1), sort(2) — ranks by freq
 K = 20
 
 
@@ -258,6 +259,15 @@ def q_fuzzy_search_topk(spark, sf_dir):
             idx, FUZZY_TERM, max_edits=1, k=K, unit="document", scorer="tfidf"
         )
     )
+
+
+def q_suggest(spark, sf_dir):
+    """Did-you-mean: d<=2 ball of 'sow' ranked by (distance asc,
+    corpus frequency desc, term asc), top 5: row, slow, sort."""
+    from caterpillar_spark.query.expand import suggest
+
+    idx = _index_cached(sf_dir)
+    return suggest(idx, SUGGEST_TERM, max_edits=2, k=5)
 
 
 def q_prefix_search_topk(spark, sf_dir):
@@ -626,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_terms": q_fuzzy_terms,
         "fuzzy_search_topk": q_fuzzy_search_topk,
         "prefix_search_topk": q_prefix_search_topk,
+        "suggest": q_suggest,
         "repetition_stats": q_repetition_stats,
         "highlight_topk": q_highlight_topk,
         "metadata_inversion": q_metadata_inversion,
@@ -949,6 +960,15 @@ SELECT doc_id, score FROM (
     WHERE t.term LIKE '{PREFIX}%'
     GROUP BY t.doc_id
 ) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        "suggest": f"""
+WITH {_TOK}
+SELECT term, levenshtein(term, '{SUGGEST_TERM}')::INT AS distance,
+       tot AS weight
+FROM stats
+WHERE levenshtein(term, '{SUGGEST_TERM}') <= 2
+ORDER BY distance ASC, tot DESC, term ASC
+LIMIT 5
 """,
         "highlight_topk": f"""
 WITH {_TOK},

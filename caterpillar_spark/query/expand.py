@@ -47,6 +47,7 @@ __all__ = [
     "prefix_terms",
     "fuzzy_search",
     "prefix_search",
+    "suggest",
 ]
 
 
@@ -82,11 +83,38 @@ def _deletion_set_col(col, max_edits: int):
     return F.expr(acc)
 
 
+def _terms_relation(index_or_df) -> DataFrame:
+    """A relation with a ``term`` column from any index kind: a raw
+    DataFrame (postings/vocabulary/...), a frames-backed or persisted
+    index (``.postings()``), or a CompressedIndex (``.lists``)."""
+    if isinstance(index_or_df, DataFrame):
+        return index_or_df
+    if hasattr(index_or_df, "postings"):
+        return index_or_df.postings()
+    if hasattr(index_or_df, "lists"):
+        return index_or_df.lists
+    raise TypeError(f"no term relation on {type(index_or_df).__name__}")
+
+
 def _vocab(index_or_df) -> DataFrame:
-    """Distinct-term relation from an index handle or a DataFrame that
-    has a ``term`` column (postings, vocabulary, deletion_index...)."""
-    df = index_or_df if isinstance(index_or_df, DataFrame) else index_or_df.postings()
-    return df.select("term").distinct()
+    """Distinct-term relation (one partial-agg shuffle on ``term``)."""
+    return _terms_relation(index_or_df).select("term").distinct()
+
+
+def term_weights(index_or_df) -> DataFrame:
+    """``(term, weight)`` — the suggester popularity rank: total corpus
+    occurrences from raw postings (``freq``), or document frequency
+    from compressed block metadata (``n_docs`` per block — decode-free;
+    the varint ``freqs`` stream is never touched).  Both are standard
+    did-you-mean ranks (SymSpell uses term frequency, Lucene docFreq)."""
+    df = _terms_relation(index_or_df)
+    if "freq" in df.columns:
+        w = F.sum("freq")
+    elif "n_docs" in df.columns:
+        w = F.sum("n_docs")
+    else:
+        raise ValueError("relation has neither 'freq' nor block 'n_docs'")
+    return df.groupBy("term").agg(w.cast("long").alias("weight"))
 
 
 def deletion_index(index_or_df, max_edits: int = 1) -> DataFrame:
@@ -154,6 +182,32 @@ def prefix_terms(
     if max_expansions is not None:
         out = out.orderBy("term").limit(max_expansions)
     return out
+
+
+def suggest(
+    index_or_df,
+    term: str,
+    max_edits: int = 2,
+    k: int = 5,
+    deletion_df: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Did-you-mean suggestions: the edit-distance-``max_edits`` ball
+    of ``term`` ranked by (distance asc, :func:`term_weights` desc,
+    term asc), limited to ``k``.  Returns ``(term, distance, weight)``.
+
+    The candidate set is tiny (a fuzzy ball), so it broadcast-joins
+    into the per-term weights relation — one partial-agg pass over the
+    postings/lists plus the fuzzy vocabulary scan; no other shuffle.
+    """
+    cand = fuzzy_terms(
+        index_or_df, term, max_edits=max_edits, deletion_df=deletion_df
+    )
+    # candidates are drawn FROM the vocabulary, so inner ≡ left here —
+    # and the tiny ball broadcasts into the weights aggregation
+    out = term_weights(index_or_df).join(F.broadcast(cand), "term")
+    return out.select("term", "distance", "weight").orderBy(
+        "distance", F.desc("weight"), "term"
+    ).limit(k)
 
 
 def _expanded_search(index, terms: Sequence[str], original: str, kind: str, **kw):

@@ -120,6 +120,43 @@ def test_prefix_search_equals_explicit_variant_group(index):
     assert got == want and got
 
 
+def test_suggest_ranked_by_distance_then_freq(index):
+    from caterpillar_spark.query.expand import suggest
+
+    got = [
+        (r["term"], r["distance"], r["weight"])
+        for r in suggest(index, "tble", max_edits=2, k=4).collect()
+    ]
+    # every VOCAB term appears once per doc -> all totals equal, so the
+    # rank order is (distance asc, term asc); cross-check via brute force
+    ball = sorted(
+        ((_lev(t, "tble"), t) for t in VOCAB if _lev(t, "tble") <= 2)
+    )[:4]
+    assert got == [(t, d, len(VOCAB)) for (d, t) in ball]
+
+
+def test_fuzzy_and_suggest_over_compressed_index(spark, index):
+    from caterpillar_spark.query.expand import suggest
+    from caterpillar_spark.query.wand import CompressedIndex
+
+    cidx = CompressedIndex.build(index.postings(), num_buckets=4, block_bits=2)
+    direct = {
+        (r["term"], r["distance"])
+        for r in fuzzy_terms(index, "table", 1).collect()
+    }
+    via_lists = {
+        (r["term"], r["distance"])
+        for r in fuzzy_terms(cidx, "table", 1).collect()
+    }
+    assert via_lists == direct and direct
+    # raw-postings weight = total occurrences; compressed weight = df
+    # (block n_docs metadata, decode-free). Every VOCAB term appears
+    # exactly once per doc here, so the two ranks coincide numerically.
+    a = suggest(index, "tble", 2, k=3).collect()
+    b = suggest(cidx, "tble", 2, k=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_no_match_raises(index):
     with pytest.raises(ValueError, match="matched no vocabulary terms"):
         fuzzy_search(index, "qqqqqqqq", 1, k=5)
