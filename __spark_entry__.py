@@ -30,6 +30,7 @@ TOPK_TERMS = ["spark", "table"]
 FUZZY_TERM = "fash"  # edit-distance-1 ball on this corpus: {fast, hash}
 PREFIX = "s"  # expands to {scan, slow, small, sort, spark, stream}
 SUGGEST_TERM = "sow"  # d<=2 ball: row(1), slow(1), sort(2) — ranks by freq
+QUERY_STRING = '+spark tabl~1 s* lang:en "hash join"'
 K = 20
 
 
@@ -294,6 +295,29 @@ def q_highlight_topk(spark, sf_dir):
             idx, stored, k=K, unit="document", should=TOPK_TERMS, scorer="tfidf"
         )
     )
+
+
+def q_query_string_topk(spark, sf_dir):
+    """Lucene-style query string exercising the full clause surface in
+    one query: required term, fuzzy clause (tabl~1 -> table), prefix
+    clause (s* -> 6 terms), metadata predicate, exact-phrase
+    constraint.  Compiles onto filter_frames + search_ngram — no new
+    scoring path."""
+    from caterpillar_spark.query.parser import execute_query
+
+    idx = _index_cached(sf_dir)
+    return _rounded(
+        execute_query(idx, QUERY_STRING, k=K, unit="document", scorer="tfidf")
+    )
+
+
+def q_facet_counts(spark, sf_dir):
+    """Solr-style facets: per-lang match counts over the query's full
+    match set (not top-k)."""
+    from caterpillar_spark.query.facets import facet_counts
+
+    idx = _index_cached(sf_dir)
+    return facet_counts(idx, ["lang"], should=TOPK_TERMS, unit="document")
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -637,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search_topk": q_fuzzy_search_topk,
         "prefix_search_topk": q_prefix_search_topk,
         "suggest": q_suggest,
+        "query_string_topk": q_query_string_topk,
+        "facet_counts": q_facet_counts,
         "repetition_stats": q_repetition_stats,
         "highlight_topk": q_highlight_topk,
         "metadata_inversion": q_metadata_inversion,
@@ -969,6 +995,45 @@ FROM stats
 WHERE levenshtein(term, '{SUGGEST_TERM}') <= 2
 ORDER BY distance ASC, tot DESC, term ASC
 LIMIT 5
+""",
+        # Clause-term multiplicity matters: 'spark' sits in BOTH the
+        # must group and the s* expansion, so (like Lucene) its tf-idf
+        # contribution counts twice — q carries one row per (term, group).
+        "query_string_topk": f"""
+WITH {_TOK},
+q AS (
+    SELECT 'spark' AS term, 0 AS gid
+    UNION ALL
+    SELECT term, 1 AS gid FROM (SELECT DISTINCT term FROM tok)
+    WHERE levenshtein(term, 'tabl') <= 1
+    UNION ALL
+    SELECT term, 2 AS gid FROM (SELECT DISTINCT term FROM tok)
+    WHERE term LIKE 's%'
+),
+ph AS (
+    SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'hash' AND b.term = 'join'
+)
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+    FROM tf t
+    JOIN q ON t.term = q.term
+    JOIN stats s ON t.term = s.term
+    JOIN dl d ON t.doc_id = d.doc_id AND d.lang = 'en'
+    JOIN ph ON t.doc_id = ph.doc_id
+    CROSS JOIN consts c
+    GROUP BY t.doc_id
+    HAVING count(DISTINCT CASE WHEN q.gid = 0 THEN 1 END) = 1
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        "facet_counts": f"""
+WITH {_TOK}
+SELECT 'lang' AS field, d.lang AS value, count(*)::BIGINT AS n
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ({topk})) m
+JOIN dl d USING (doc_id)
+GROUP BY d.lang
 """,
         "highlight_topk": f"""
 WITH {_TOK},

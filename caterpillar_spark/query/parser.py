@@ -1,0 +1,274 @@
+"""Lucene-style query-string parser over the engine's boolean surface.
+
+Beyond-reference serving surface: the reference's query API is purely
+programmatic (dicts of term specs); this parser gives the standard
+search-box syntax and compiles it onto the existing operators — no new
+scoring or retrieval path.
+
+Syntax (whitespace-separated clauses):
+
+* ``term``            — optional (should) scoring term
+* ``+term``           — required (must)
+* ``-term``           — excluded (must_not)
+* ``term~`` / ``term~1`` / ``term~2`` — fuzzy clause: the edit-distance
+  ball (default 2, Lucene's default) expanded against the index
+  vocabulary into ONE variant group
+* ``pre*``            — prefix clause, expanded the same way
+* ``"a b c"``         — exact phrase (consecutive positions); phrases
+  act as match constraints (``-"a b"`` excludes). A phrase-only query
+  scores by phrase match count.
+* ``field:value`` / ``field:>=10`` etc. — metadata predicate
+  (``=, <, <=, >, >=``); multiple predicates on one field conjoin.
+
+Everything is lowercased, matching the default analyser chain.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dfield
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["Fuzzy", "Prefix", "QuerySpec", "parse_query", "execute_query"]
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    term: str
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
+class Prefix:
+    prefix: str
+
+
+Clause = Union[str, Fuzzy, Prefix]
+
+
+@dataclass
+class QuerySpec:
+    must: List[Clause] = dfield(default_factory=list)
+    should: List[Clause] = dfield(default_factory=list)
+    must_not: List[Clause] = dfield(default_factory=list)
+    phrases: List[List[str]] = dfield(default_factory=list)
+    not_phrases: List[List[str]] = dfield(default_factory=list)
+    metadata: Dict[str, Dict[str, object]] = dfield(default_factory=dict)
+
+
+_CLAUSE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+_FIELDED = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(>=|<=|>|<|=)?(.+)$")
+_FUZZY = re.compile(r"^(.+?)~([0-9])?$")
+
+
+def parse_query(q: str) -> QuerySpec:
+    """Parse a query string into a :class:`QuerySpec` (pure — index
+    resolution of fuzzy/prefix clauses happens in
+    :func:`execute_query`)."""
+    spec = QuerySpec()
+    matched_any = False
+    for mod, raw, quoted in _CLAUSE.findall(q):
+        matched_any = True
+        if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+            words = quoted.lower().split()
+            if not words:
+                continue
+            if len(words) == 1:  # quoted single word = plain term
+                _add_term(spec, mod, words[0])
+            elif mod == "-":
+                spec.not_phrases.append(words)
+            else:
+                spec.phrases.append(words)
+            continue
+        tok = raw
+        fm = _FIELDED.match(tok)
+        if fm and not tok.endswith("~") and "*" not in tok:
+            name, op, value = fm.group(1), fm.group(2) or "=", fm.group(3)
+            if mod == "-":
+                raise ValueError(
+                    f"negated metadata clause {tok!r} is not supported"
+                )
+            val: object = value.lower()
+            if re.fullmatch(r"-?\d+", value):
+                val = int(value)
+            elif re.fullmatch(r"-?\d*\.\d+", value):
+                val = float(value)
+            spec.metadata.setdefault(name, {})[op] = val
+            continue
+        _add_term(spec, mod, tok.lower())
+    if not matched_any and q.strip():
+        raise ValueError(f"unparseable query {q!r}")
+    if not (spec.must or spec.should or spec.phrases or spec.metadata):
+        raise ValueError("query has no positive clause")
+    return spec
+
+
+def _add_term(spec: QuerySpec, mod: str, tok: str) -> None:
+    clause: Clause
+    fz = _FUZZY.match(tok)
+    if fz:
+        d = int(fz.group(2)) if fz.group(2) else 2
+        if not 1 <= d <= 2:
+            raise ValueError(f"fuzzy distance must be 1 or 2 in {tok!r}")
+        clause = Fuzzy(fz.group(1), d)
+    elif tok.endswith("*") and len(tok) > 1:
+        clause = Prefix(tok[:-1])
+    else:
+        clause = tok
+    target = {"": spec.should, "+": spec.must, "-": spec.must_not}[mod]
+    target.append(clause)
+
+
+def _resolve(index, clause: Clause, max_expansions: int) -> Optional[Tuple[str, ...]]:
+    """A clause -> tuple of concrete terms (one variant group), or
+    None when an expansion matches nothing in the vocabulary."""
+    from caterpillar_spark.query.expand import fuzzy_terms, prefix_terms
+
+    if isinstance(clause, str):
+        return (clause,)
+    if isinstance(clause, Fuzzy):
+        rows = (
+            fuzzy_terms(index, clause.term, clause.max_edits, max_expansions)
+            .orderBy("distance", "term")
+            .collect()
+        )
+        terms = tuple(r["term"] for r in rows)
+    else:
+        terms = tuple(
+            r["term"]
+            for r in prefix_terms(index, clause.prefix, max_expansions)
+            .orderBy("term")
+            .collect()
+        )
+    return terms or None
+
+
+def execute_query(
+    index,
+    q: str,
+    k: int = 10,
+    unit: str = "document",
+    scorer: str = "tfidf",
+    max_expansions: int = 64,
+    schema=None,
+    **engine_kw,
+) -> DataFrame:
+    """Parse ``q`` and run it: ranked top-``k`` ``(doc_id[, field,
+    frame_seq], score)``.
+
+    Semantics: term clauses score through :func:`filter_frames`
+    (fuzzy/prefix expansions as variant groups); phrase clauses
+    constrain the match set via positional n-gram semi/anti-joins; a
+    phrase-only query scores by phrase match count.  An unsatisfiable
+    ``+`` expansion (nothing in the vocabulary) returns an empty
+    result; unsatisfiable optional/negative expansions are dropped.
+    """
+    from caterpillar_spark.query.engine import filter_frames
+
+    spec = parse_query(q)
+    spark = index.frames.sparkSession if hasattr(index, "frames") else index.spark
+    empty_schema = (
+        "doc_id long, field string, frame_seq int, score double"
+        if unit == "frame"
+        else "doc_id long, score double"
+    )
+
+    must: List[Tuple[str, ...]] = []
+    should: List[Tuple[str, ...]] = []
+    must_not: List[str] = []
+    for clause in spec.must:
+        grp = _resolve(index, clause, max_expansions)
+        if grp is None:
+            return spark.createDataFrame([], empty_schema)
+        must.append(grp)
+    for clause in spec.should:
+        grp = _resolve(index, clause, max_expansions)
+        if grp is not None:
+            should.append(grp)
+    for clause in spec.must_not:
+        grp = _resolve(index, clause, max_expansions)
+        if grp is not None:
+            must_not.extend(grp)
+
+    keys = ["doc_id"] if unit == "document" else ["doc_id", "field", "frame_seq"]
+    metadata = spec.metadata or None
+    phrase_constraints = list(spec.phrases)
+
+    if must or should:
+        scored = filter_frames(
+            index,
+            must=must,
+            should=should,
+            must_not=must_not,
+            metadata=metadata,
+            unit=unit,
+            scorer=scorer,
+            schema=schema,
+            **engine_kw,
+        )
+    elif spec.phrases:
+        if unit != "document":
+            raise ValueError(
+                "phrase-only queries score at unit='document' "
+                "(search_ngram has no field identity)"
+            )
+        scored = _phrase_scores(index, spec, unit, metadata, schema)
+        phrase_constraints = phrase_constraints[1:]  # first phrase scored
+        if must_not:
+            excluded = filter_frames(
+                index, should=must_not, unit=unit, metadata=None
+            ).select(*keys)
+            scored = scored.join(excluded, keys, "left_anti")
+    else:
+        # metadata-only query: the no-posting-join fast path over frames
+        from caterpillar_spark.query.engine import filter_metadata
+
+        if not hasattr(index, "frames"):
+            raise ValueError(
+                "metadata-only queries need a frames-backed index"
+            )
+        rows = filter_metadata(index.frames, metadata, schema=schema)
+        scored = (
+            rows.select(*keys).distinct().withColumn("score", F.lit(0.0))
+        )
+
+    for ph in phrase_constraints:
+        pm = _phrase_units(index, ph, unit)
+        scored = scored.join(pm, _phrase_keys(unit), "left_semi")
+    for ph in spec.not_phrases:
+        pm = _phrase_units(index, ph, unit)
+        scored = scored.join(pm, _phrase_keys(unit), "left_anti")
+
+    return scored.orderBy(F.desc("score"), *keys).limit(k)
+
+
+def _phrase_keys(unit: str) -> List[str]:
+    # search_ngram's frame identity is (doc_id, frame_seq) — its own
+    # single-TEXT-field contract (query/analytics.py)
+    return ["doc_id"] if unit == "document" else ["doc_id", "frame_seq"]
+
+
+def _phrase_units(index, phrase: Sequence[str], unit: str) -> DataFrame:
+    from caterpillar_spark.query.analytics import search_ngram
+
+    pm = search_ngram(index.postings(), list(phrase))
+    return pm.select(*_phrase_keys(unit)).distinct()
+
+
+def _phrase_scores(index, spec: QuerySpec, unit: str, metadata, schema) -> DataFrame:
+    """Phrase-only query: score = match count of the FIRST phrase
+    (additional phrases keep constraining via the semi-joins in
+    :func:`execute_query`)."""
+    from caterpillar_spark.query.analytics import search_ngram
+    from caterpillar_spark.query.engine import metadata_predicate
+
+    posts = index.postings()
+    if metadata:
+        posts = posts.where(metadata_predicate(metadata, schema=schema))
+    first = spec.phrases[0]
+    pm = search_ngram(posts, list(first))
+    return pm.groupBy("doc_id").agg(
+        F.sum("matches").cast("double").alias("score")
+    )

@@ -1,0 +1,121 @@
+"""Query-string parser (query/parser.py): parse goldens + execution parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from caterpillar_spark.framing import build_frames
+from caterpillar_spark.query import MemoryIndex, search
+from caterpillar_spark.query.parser import (
+    Fuzzy,
+    Prefix,
+    execute_query,
+    parse_query,
+)
+
+
+# ---------------------------------------------------------------- parsing
+
+def test_parse_modifiers_and_expansions():
+    s = parse_query('+spark -join tabl~1 str* plain other~')
+    assert s.must == ["spark"]
+    assert s.must_not == ["join"]
+    assert s.should == [Fuzzy("tabl", 1), Prefix("str"), "plain", Fuzzy("other", 2)]
+    assert s.phrases == [] and s.metadata == {}
+
+
+def test_parse_phrases_and_metadata():
+    s = parse_query('"hash join" -"slow scan" lang:en n_chars:>=100 n_chars:<300 "solo"')
+    assert s.phrases == [["hash", "join"]]
+    assert s.not_phrases == [["slow", "scan"]]
+    assert s.metadata == {"lang": {"=": "en"}, "n_chars": {">=": 100, "<": 300}}
+    assert s.should == ["solo"]  # quoted single word = plain term
+
+
+def test_parse_rejections():
+    with pytest.raises(ValueError, match="no positive clause"):
+        parse_query("-only -negative")
+    with pytest.raises(ValueError, match="negated metadata"):
+        parse_query("spark -lang:en")
+    with pytest.raises(ValueError, match="fuzzy distance"):
+        parse_query("term~3")
+
+
+def test_parse_case_folding():
+    s = parse_query("+SPARK Tabl~1 LANG:EN")
+    assert s.must == ["spark"]
+    assert s.should == [Fuzzy("tabl", 1)]
+    assert s.metadata == {"LANG": {"=": "en"}}
+
+
+# ---------------------------------------------------------------- execution
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table join fast hash join", "en", 100),
+            (2, "spark stream window table",        "en", 250),
+            (3, "table scan slow join",             "de", 100),
+            (4, "spark spark table",                "en", 400),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    frames = build_frames(
+        docs, text_cols=["text"], metadata_cols=["lang", "n_chars"], frame_size=0
+    )
+    return MemoryIndex(frames)
+
+
+def _ids(df):
+    return [r["doc_id"] for r in df.collect()]
+
+
+def test_execute_matches_handbuilt_spec(index):
+    got = execute_query(index, "+spark table -slow", k=10)
+    want = search(
+        index, k=10, unit="document",
+        must=[("spark",)], should=[("table",)], must_not=["slow"],
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert _ids(got)  # non-vacuous
+
+
+def test_execute_fuzzy_and_prefix_expansion(index):
+    got = execute_query(index, "+tabl~1 str*", k=10)
+    # tabl~1 -> {table}; str* -> {stream}
+    want = search(
+        index, k=10, unit="document", must=[("table",)], should=[("stream",)]
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_execute_metadata_conjunction(index):
+    got = execute_query(index, "spark lang:en n_chars:>=200", k=10)
+    assert sorted(_ids(got)) == [2, 4]
+
+
+def test_execute_phrase_constraint(index):
+    # 'fast hash' appears only in doc 1
+    got = execute_query(index, 'spark "fast hash"', k=10)
+    assert _ids(got) == [1]
+    anti = execute_query(index, 'spark -"fast hash"', k=10)
+    assert 1 not in _ids(anti) and set(_ids(anti)) == {2, 4}
+
+
+def test_execute_phrase_only_scores_by_matches(index):
+    got = execute_query(index, '"spark table"', k=10).collect()
+    # docs 1 and 4 contain the bigram once each
+    assert {(r["doc_id"], r["score"]) for r in got} == {(1, 1.0), (4, 1.0)}
+
+
+def test_execute_metadata_only(index):
+    got = execute_query(index, "lang:de", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [(3, 0.0)]
+
+
+def test_unsatisfiable_must_expansion_is_empty(index):
+    out = execute_query(index, "+zzzzzz~1 spark", k=10)
+    assert out.collect() == []
+    # ...but an unsatisfiable OPTIONAL expansion is dropped
+    out2 = execute_query(index, "zzzzzz~1 spark", k=10)
+    assert set(_ids(out2)) == {1, 2, 4}
