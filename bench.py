@@ -273,6 +273,22 @@ def main() -> None:
         4,
     )
 
+    # Full query-string surface (r4): required + fuzzy + prefix +
+    # metadata + phrase in one parsed query
+    from caterpillar_spark.query.parser import execute_query
+
+    queries["query_string_topk"] = round(
+        bench_query(
+            lambda: run(
+                execute_query(
+                    idx, '+spark tabl~1 s* lang:en "hash join"', k=10
+                )
+            ),
+            warmups=1, reps=3,
+        ),
+        4,
+    )
+
     from caterpillar_spark.ops import ann_ivf_topk
 
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]

@@ -121,28 +121,77 @@ def _add_term(spec: QuerySpec, mod: str, tok: str) -> None:
     target.append(clause)
 
 
-def _resolve(index, clause: Clause, max_expansions: int) -> Optional[Tuple[str, ...]]:
-    """A clause -> tuple of concrete terms (one variant group), or
-    None when an expansion matches nothing in the vocabulary."""
-    from caterpillar_spark.query.expand import fuzzy_terms, prefix_terms
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
 
-    if isinstance(clause, str):
-        return (clause,)
-    if isinstance(clause, Fuzzy):
-        rows = (
-            fuzzy_terms(index, clause.term, clause.max_edits, max_expansions)
-            .orderBy("distance", "term")
-            .collect()
+
+def _resolve_all(
+    index, clauses: Sequence[Clause], max_expansions: int
+) -> Dict[Clause, Optional[Tuple[str, ...]]]:
+    """Resolve every Fuzzy/Prefix clause in ONE vocabulary-scan job
+    (per-clause jobs would pay Spark's job-launch latency E times; the
+    combined pass emits (clause_id, term) pairs in a single scan).
+    Caps and ordering are applied driver-side on the tiny result sets —
+    identical to :func:`caterpillar_spark.query.expand.fuzzy_terms` /
+    ``prefix_terms`` with the same ``max_expansions``."""
+    from caterpillar_spark.query.expand import (
+        _deletion_set_col,
+        _query_deletions,
+        _vocab,
+    )
+
+    out: Dict[Clause, Optional[Tuple[str, ...]]] = {}
+    expansions = []
+    for c in clauses:
+        if isinstance(c, str):
+            out[c] = (c,)
+        elif c not in out and c not in (e for _, e in expansions):
+            expansions.append((len(expansions), c))
+    if not expansions:
+        return out
+
+    branches = []
+    for cid, c in expansions:
+        if isinstance(c, Fuzzy):
+            qvars = _query_deletions(c.term, c.max_edits)
+            cond = F.arrays_overlap(
+                _deletion_set_col("term", c.max_edits),
+                F.array(*[F.lit(v) for v in qvars]),
+            ) & (F.levenshtein(F.col("term"), F.lit(c.term)) <= c.max_edits)
+        else:
+            cond = F.col("term").startswith(c.prefix)
+        branches.append(F.when(cond, F.lit(cid)))
+    matched = (
+        _vocab(index)
+        .select(
+            "term",
+            F.array_compact(F.array(*branches)).alias("_cids"),
         )
-        terms = tuple(r["term"] for r in rows)
-    else:
-        terms = tuple(
-            r["term"]
-            for r in prefix_terms(index, clause.prefix, max_expansions)
-            .orderBy("term")
-            .collect()
-        )
-    return terms or None
+        .where(F.size("_cids") > 0)
+        .select(F.explode("_cids").alias("_cid"), "term")
+        .collect()
+    )
+    by_cid: Dict[int, List[str]] = {}
+    for r in matched:
+        by_cid.setdefault(r["_cid"], []).append(r["term"])
+    for cid, c in expansions:
+        terms = by_cid.get(cid, [])
+        if isinstance(c, Fuzzy):
+            terms.sort(key=lambda t: (_lev(t, c.term), t))
+        else:
+            terms.sort()
+        out[c] = tuple(terms[:max_expansions]) or None
+    return out
 
 
 def execute_query(
@@ -175,20 +224,25 @@ def execute_query(
         else "doc_id long, score double"
     )
 
+    resolved = _resolve_all(
+        index,
+        [*spec.must, *spec.should, *spec.must_not],
+        max_expansions,
+    )
     must: List[Tuple[str, ...]] = []
     should: List[Tuple[str, ...]] = []
     must_not: List[str] = []
     for clause in spec.must:
-        grp = _resolve(index, clause, max_expansions)
+        grp = resolved[clause]
         if grp is None:
             return spark.createDataFrame([], empty_schema)
         must.append(grp)
     for clause in spec.should:
-        grp = _resolve(index, clause, max_expansions)
+        grp = resolved[clause]
         if grp is not None:
             should.append(grp)
     for clause in spec.must_not:
-        grp = _resolve(index, clause, max_expansions)
+        grp = resolved[clause]
         if grp is not None:
             must_not.extend(grp)
 
