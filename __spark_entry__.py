@@ -31,6 +31,7 @@ FUZZY_TERM = "fash"  # edit-distance-1 ball on this corpus: {fast, hash}
 PREFIX = "s"  # expands to {scan, slow, small, sort, spark, stream}
 SUGGEST_TERM = "sow"  # d<=2 ball: row(1), slow(1), sort(2) — ranks by freq
 QUERY_STRING = '+spark tabl~1 s* lang:en "hash join"'
+MLT_SEED = 42  # seed document for more_like_this
 K = 20
 
 
@@ -295,6 +296,15 @@ def q_highlight_topk(spark, sf_dir):
             idx, stored, k=K, unit="document", should=TOPK_TERMS, scorer="tfidf"
         )
     )
+
+
+def q_more_like_this(spark, sf_dir):
+    """Lucene-style MoreLikeThis: seed query = doc 42's top-5 terms by
+    tf-idf (deterministic tie-break), ranked search excluding the seed."""
+    from caterpillar_spark.query.mlt import more_like_this
+
+    idx = _index_cached(sf_dir)
+    return _rounded(more_like_this(idx, MLT_SEED, max_terms=5, k=K))
 
 
 def q_query_string_topk(spark, sf_dir):
@@ -662,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search_topk": q_prefix_search_topk,
         "suggest": q_suggest,
         "query_string_topk": q_query_string_topk,
+        "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "repetition_stats": q_repetition_stats,
         "highlight_topk": q_highlight_topk,
@@ -995,6 +1006,25 @@ FROM stats
 WHERE levenshtein(term, '{SUGGEST_TERM}') <= 2
 ORDER BY distance ASC, tot DESC, term ASC
 LIMIT 5
+""",
+        "more_like_this": f"""
+WITH {_TOK},
+seed AS (
+    SELECT t.term
+    FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+    WHERE t.doc_id = {MLT_SEED}
+    ORDER BY t.freq * (1.0 + ln(c.n / (s.ff + 1.0))) DESC, t.term ASC
+    LIMIT 5
+)
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+    FROM tf t JOIN seed q ON t.term = q.term
+    JOIN stats s ON t.term = s.term
+    CROSS JOIN consts c
+    WHERE t.doc_id <> {MLT_SEED}
+    GROUP BY t.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
 """,
         # Clause-term multiplicity matters: 'spark' sits in BOTH the
         # must group and the s* expansion, so (like Lucene) its tf-idf

@@ -1,0 +1,77 @@
+"""More-like-this: retrieve documents similar to a seed document.
+
+Beyond-reference serving surface (Lucene's MoreLikeThis): seed a query
+from the document's own most characteristic terms — top ``max_terms``
+by tf·idf with a deterministic tie-break — then rank the corpus with
+the ordinary scorer, excluding the seed.
+
+Scale shape: seed extraction is one pruned aggregation over the seed
+document's postings joined to the per-term statistics (at 100 TB this
+read comes from the forward index / tf_vectors layout rather than a
+postings scan — the seed's term list is ~dl rows either way); the
+retrieval step is the engine's normal broadcast-join search.  Two jobs
+total per MLT call.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["mlt_seed_terms", "more_like_this"]
+
+
+def mlt_seed_terms(
+    index, doc_id: int, max_terms: int = 5, min_freq: int = 1
+) -> List[str]:
+    """The seed document's top ``max_terms`` terms by tf·idf
+    (idf = 1 + ln(N/(df+1)), the engine's tfidf weight), tie-broken by
+    term asc — deterministic."""
+    doc_tf = (
+        index.postings()
+        .where(F.col("doc_id") == doc_id)
+        .groupBy("term")
+        .agg(F.sum("freq").alias("tf"))
+        .where(F.col("tf") >= min_freq)
+    )
+    stats = index.term_stats().select("term", "frames_occuring")
+    n = index.field_stats().agg(F.sum("frame_count")).first()[0] or 0
+    rows = (
+        doc_tf.join(stats, "term")
+        .select(
+            "term",
+            (
+                F.col("tf")
+                * (1.0 + F.log(F.lit(float(n)) / (F.col("frames_occuring") + 1.0)))
+            ).alias("contrib"),
+        )
+        .orderBy(F.desc("contrib"), "term")
+        .limit(max_terms)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def more_like_this(
+    index,
+    doc_id: int,
+    max_terms: int = 5,
+    k: int = 10,
+    unit: str = "document",
+    scorer: str = "tfidf",
+    **engine_kw,
+) -> DataFrame:
+    """Ranked top-``k`` documents most similar to ``doc_id``
+    (``(doc_id[, field, frame_seq], score)``; the seed document is
+    excluded)."""
+    from caterpillar_spark.query.engine import filter_frames
+
+    terms = mlt_seed_terms(index, doc_id, max_terms)
+    if not terms:
+        raise ValueError(f"document {doc_id} has no indexed terms")
+    keys = ["doc_id"] if unit == "document" else ["doc_id", "field", "frame_seq"]
+    scored = filter_frames(
+        index, should=terms, unit=unit, scorer=scorer, **engine_kw
+    ).where(F.col("doc_id") != doc_id)
+    return scored.orderBy(F.desc("score"), *keys).limit(k)
