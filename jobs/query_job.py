@@ -26,7 +26,11 @@ def main() -> int:
     ap.add_argument("--mode", choices=["or", "and"], default="or")
     ap.add_argument("--exclude", default="",
                     help="space-separated must_not terms")
-    ap.add_argument("--engine", choices=["wand", "dataframe"], default="wand")
+    ap.add_argument(
+        "--engine", choices=["wand", "dataframe", "parser"], default="wand",
+        help="parser = Lucene-lite query-string syntax "
+        '(+must -not term~d pre* "phrase" field:op value)',
+    )
     ap.add_argument("--cores", type=int, default=0)
     args = ap.parse_args()
 
@@ -55,6 +59,10 @@ def main() -> int:
             rows = wand_topk(
                 cidx, terms, k=args.k, mode=args.mode, must_not=must_not
             ).collect()
+        elif args.engine == "parser":
+            from caterpillar_spark.query.parser import execute_query
+
+            rows = execute_query(idx, q, k=args.k, scorer="bm25").collect()
         else:
             kw = {"must" if args.mode == "and" else "should": terms}
             rows = search(
