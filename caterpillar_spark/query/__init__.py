@@ -14,6 +14,17 @@ from caterpillar_spark.query.composition import (
     boost,
     score_and_rank,
 )
+from caterpillar_spark.query.expand import (
+    fuzzy_terms,
+    fuzzy_search,
+    prefix_terms,
+    prefix_search,
+    suggest,
+)
+from caterpillar_spark.query.facets import facet_counts
+from caterpillar_spark.query.highlight import highlight_search, term_occurrences
+from caterpillar_spark.query.mlt import more_like_this
+from caterpillar_spark.query.parser import execute_query, parse_query
 
 __all__ = [
     "MemoryIndex",
@@ -26,4 +37,15 @@ __all__ = [
     "exclude",
     "boost",
     "score_and_rank",
+    "fuzzy_terms",
+    "fuzzy_search",
+    "prefix_terms",
+    "prefix_search",
+    "suggest",
+    "facet_counts",
+    "highlight_search",
+    "term_occurrences",
+    "more_like_this",
+    "execute_query",
+    "parse_query",
 ]
