@@ -85,10 +85,16 @@ def _deletion_set_col(col, max_edits: int):
 
 def _terms_relation(index_or_df) -> DataFrame:
     """A relation with a ``term`` column from any index kind: a raw
-    DataFrame (postings/vocabulary/...), a frames-backed or persisted
-    index (``.postings()``), or a CompressedIndex (``.lists``)."""
+    DataFrame (postings/vocabulary/...), an index exposing per-term
+    statistics (``.term_stats()`` — ONE row per term (per batch on
+    incrementally-appended indexes), so a persisted index answers
+    vocabulary scans from the tiny statistics table instead of a full
+    postings scan: at 2M docs that is 8k rows vs ~10^8), or a
+    CompressedIndex (``.lists`` block metadata)."""
     if isinstance(index_or_df, DataFrame):
         return index_or_df
+    if hasattr(index_or_df, "term_stats"):
+        return index_or_df.term_stats()
     if hasattr(index_or_df, "postings"):
         return index_or_df.postings()
     if hasattr(index_or_df, "lists"):
@@ -108,12 +114,17 @@ def term_weights(index_or_df) -> DataFrame:
     the varint ``freqs`` stream is never touched).  Both are standard
     did-you-mean ranks (SymSpell uses term frequency, Lucene docFreq)."""
     df = _terms_relation(index_or_df)
-    if "freq" in df.columns:
+    if "total_occurrences" in df.columns:
+        # statistics table: sum merges per-batch partial rows
+        w = F.sum("total_occurrences")
+    elif "freq" in df.columns:
         w = F.sum("freq")
     elif "n_docs" in df.columns:
         w = F.sum("n_docs")
     else:
-        raise ValueError("relation has neither 'freq' nor block 'n_docs'")
+        raise ValueError(
+            "relation has none of 'total_occurrences'/'freq'/'n_docs'"
+        )
     return df.groupBy("term").agg(w.cast("long").alias("weight"))
 
 

@@ -44,6 +44,9 @@ def main() -> int:
     ap.add_argument("--num-buckets", type=int, default=32)
     ap.add_argument("--block-bits", type=int, default=6)
     ap.add_argument("--checkpoint-groups", type=int, default=4)
+    ap.add_argument("--with-positions", action="store_true",
+                    help="also write the compressed positions layout "
+                    "(phrase/ngram search over varint position streams)")
     ap.add_argument("--queries", default="the,spark table,index query data")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--reps", type=int, default=5)
@@ -128,6 +131,8 @@ def main() -> int:
         num_buckets=args.num_buckets,
         block_bits=args.block_bits,
         checkpoint_groups=args.checkpoint_groups,
+        with_positions=args.with_positions,
+        source=args.input,
     )
     build_s = time.perf_counter() - t0
 

@@ -113,6 +113,31 @@ def test_execute_metadata_only(index):
     assert [(r["doc_id"], r["score"]) for r in got] == [(3, 0.0)]
 
 
+def test_phrase_routes_to_compressed_positions(spark, index, tmp_path):
+    """Over a persisted with_positions index the parser's phrase
+    clauses run on the varint positions layout; results must equal the
+    in-memory raw-postings path exactly."""
+    from caterpillar_spark.indexing.build import build_index
+
+    pidx = build_index(
+        index.frames, str(tmp_path / "idx"), num_buckets=4,
+        block_bits=2, with_positions=True,
+    )
+    assert pidx.manifest.get("with_positions")
+    for q in ('spark "fast hash"', '"spark table"', 'table -"fast hash"'):
+        a = sorted(tuple(r) for r in execute_query(index, q, k=10).collect())
+        for engine in ("auto", "postings", "compressed"):
+            b = sorted(
+                tuple(r)
+                for r in execute_query(
+                    pidx, q, k=10, phrase_engine=engine
+                ).collect()
+            )
+            assert a == b and a, (q, engine)
+    with pytest.raises(ValueError, match="with_positions"):
+        execute_query(index, '"spark table"', phrase_engine="compressed")
+
+
 def test_unsatisfiable_must_expansion_is_empty(index):
     out = execute_query(index, "+zzzzzz~1 spark", k=10)
     assert out.collect() == []
