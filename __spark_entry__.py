@@ -321,6 +321,24 @@ def q_query_string_topk(spark, sf_dir):
     )
 
 
+def q_query_string_batch(spark, sf_dir):
+    """Q parsed query strings in one job (execute_many): expansions for
+    BOTH queries resolve in one shared vocabulary scan, then
+    search_many unions the term sets into one broadcast join."""
+    from caterpillar_spark.query.parser import execute_many
+
+    idx = _index_cached(sf_dir)
+    return _rounded(
+        execute_many(
+            idx,
+            {"qa": "+spark tabl~1", "qb": "row s*"},
+            k=K,
+            unit="document",
+            scorer="tfidf",
+        )
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Solr-style facets: per-lang match counts over the query's full
     match set (not top-k)."""
@@ -672,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search_topk": q_prefix_search_topk,
         "suggest": q_suggest,
         "query_string_topk": q_query_string_topk,
+        "query_string_batch": q_query_string_batch,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "repetition_stats": q_repetition_stats,
@@ -1006,6 +1025,31 @@ FROM stats
 WHERE levenshtein(term, '{SUGGEST_TERM}') <= 2
 ORDER BY distance ASC, tot DESC, term ASC
 LIMIT 5
+""",
+        # Two parsed queries stitched with literal query ids — the
+        # batch path must reproduce each single-query result exactly.
+        # qa: must 'spark' + fuzzy ball of 'tabl' (= table);
+        # qb: should 'row' + prefix 's*'.
+        "query_string_batch": f"""
+WITH {_TOK}
+SELECT 'qa' AS query_id, doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+    FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+    WHERE t.term = 'spark' OR levenshtein(t.term, 'tabl') <= 1
+    GROUP BY t.doc_id
+    HAVING max(CASE WHEN t.term = 'spark' THEN 1 ELSE 0 END) = 1
+    ORDER BY score DESC, doc_id ASC LIMIT {K}
+)
+UNION ALL
+SELECT 'qb' AS query_id, doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+    FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+    WHERE t.term = 'row' OR t.term LIKE 's%'
+    GROUP BY t.doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT {K}
+)
 """,
         "more_like_this": f"""
 WITH {_TOK},

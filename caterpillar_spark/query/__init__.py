@@ -24,7 +24,7 @@ from caterpillar_spark.query.expand import (
 from caterpillar_spark.query.facets import facet_counts
 from caterpillar_spark.query.highlight import highlight_search, term_occurrences
 from caterpillar_spark.query.mlt import more_like_this
-from caterpillar_spark.query.parser import execute_query, parse_query
+from caterpillar_spark.query.parser import execute_many, execute_query, parse_query
 
 __all__ = [
     "MemoryIndex",
@@ -46,6 +46,7 @@ __all__ = [
     "highlight_search",
     "term_occurrences",
     "more_like_this",
+    "execute_many",
     "execute_query",
     "parse_query",
 ]

@@ -31,7 +31,14 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["Fuzzy", "Prefix", "QuerySpec", "parse_query", "execute_query"]
+__all__ = [
+    "Fuzzy",
+    "Prefix",
+    "QuerySpec",
+    "parse_query",
+    "execute_query",
+    "execute_many",
+]
 
 
 @dataclass(frozen=True)
@@ -299,6 +306,84 @@ def execute_query(
         scored = scored.join(pm, _phrase_keys(unit), "left_anti")
 
     return scored.orderBy(F.desc("score"), *keys).limit(k)
+
+
+def execute_many(
+    index,
+    queries: Dict[str, str],
+    k: int = 10,
+    unit: str = "document",
+    scorer: str = "tfidf",
+    max_expansions: int = 64,
+    schema=None,
+    **engine_kw,
+) -> DataFrame:
+    """Q parsed query strings in ONE Spark job: ``query_id -> string``
+    in, ``(query_id, <unit keys>, score)`` out, per-query rows
+    identical to :func:`execute_query`.
+
+    ALL queries' fuzzy/prefix clauses resolve in one shared
+    vocabulary scan, then the compiled specs run through
+    :func:`caterpillar_spark.query.engine.search_many` (union term
+    broadcast, one aggregation, per-query top-k) — two jobs total for
+    any Q.  Batch-mode limits (raise ``ValueError``): phrase clauses
+    are per-query joins and metadata predicates are shared across a
+    ``search_many`` batch, so queries using either must run through
+    :func:`execute_query`; a query whose required expansion is
+    unsatisfiable simply contributes no rows.
+    """
+    from caterpillar_spark.query.engine import search_many
+
+    specs = {qid: parse_query(s) for qid, s in queries.items()}
+    for qid, spec in specs.items():
+        if spec.phrases or spec.not_phrases:
+            raise ValueError(
+                f"query {qid!r}: phrase clauses are not supported in "
+                "execute_many — use execute_query"
+            )
+        if not (spec.must or spec.should):
+            raise ValueError(f"query {qid!r} has no term clause")
+        if spec.metadata:
+            raise ValueError(
+                f"query {qid!r}: metadata clauses are not supported in "
+                "execute_many — use execute_query"
+            )
+    all_clauses = [
+        c
+        for spec in specs.values()
+        for c in (*spec.must, *spec.should, *spec.must_not)
+    ]
+    resolved = _resolve_all(index, all_clauses, max_expansions)
+
+    compiled: Dict[str, dict] = {}
+    for qid, spec in specs.items():
+        must = [resolved[c] for c in spec.must]
+        if any(g is None for g in must):
+            continue  # unsatisfiable required expansion: no rows
+        should = [g for c in spec.should if (g := resolved[c]) is not None]
+        must_not = [
+            t for c in spec.must_not if resolved[c] for t in resolved[c]
+        ]
+        if must or should:
+            compiled[qid] = {
+                "must": must, "should": should, "must_not": must_not
+            }
+    if not compiled:
+        spark = (
+            index.frames.sparkSession
+            if hasattr(index, "frames")
+            else index.spark
+        )
+        keys = (
+            "doc_id long, score double"
+            if unit == "document"
+            else "doc_id long, field string, frame_seq int, score double"
+        )
+        return spark.createDataFrame([], f"query_id string, {keys}")
+    return search_many(
+        index, compiled, k=k, unit=unit, scorer=scorer, schema=schema,
+        **engine_kw,
+    )
 
 
 def _phrase_keys(unit: str) -> List[str]:

@@ -138,6 +138,39 @@ def test_phrase_routes_to_compressed_positions(spark, index, tmp_path):
         execute_query(index, '"spark table"', phrase_engine="compressed")
 
 
+def test_execute_many_parity_with_single(index):
+    from caterpillar_spark.query.parser import execute_many
+
+    qs = {
+        "qa": "+spark table -slow",
+        "qb": "+tabl~1 str*",
+        "qc": "scan",
+        "qd": "+zzzz~1",  # unsatisfiable required expansion
+    }
+    batch = execute_many(index, qs, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 9)))
+    for qid in ("qa", "qb", "qc"):
+        single = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in execute_query(index, qs[qid], k=5).collect()
+        ]
+        assert got.get(qid, []) == single, qid
+    assert "qd" not in got  # contributed no rows
+
+
+def test_execute_many_rejections(index):
+    from caterpillar_spark.query.parser import execute_many
+
+    with pytest.raises(ValueError, match="phrase clauses"):
+        execute_many(index, {"q": 'spark "fast hash"'})
+    with pytest.raises(ValueError, match="metadata clauses"):
+        execute_many(index, {"q": "spark lang:en"})
+    with pytest.raises(ValueError, match="no term clause"):
+        execute_many(index, {"q": "-spark lang:en"})
+
+
 def test_unsatisfiable_must_expansion_is_empty(index):
     out = execute_query(index, "+zzzzzz~1 spark", k=10)
     assert out.collect() == []
