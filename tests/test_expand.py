@@ -157,6 +157,31 @@ def test_fuzzy_and_suggest_over_compressed_index(spark, index):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_suggest_merges_appended_partial_stats(spark, tmp_path):
+    """term_stats carries one row per (term, field[, batch]); suggest
+    weights must SUM the partial rows — an appended index ranks by the
+    combined corpus frequency."""
+    from caterpillar_spark.query.expand import suggest, term_weights
+    from caterpillar_spark.streaming.incremental import append_batch
+
+    path = str(tmp_path / "idx")
+    d1 = spark.createDataFrame(
+        [(1, "table table fast"), (2, "hash table")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(3, "fast fast fast table")], "doc_id long, text string"
+    )
+    append_batch(build_frames(d1, text_cols=["text"], frame_size=0), path,
+                 num_buckets=4, batch_id=0)
+    idx = append_batch(build_frames(d2, text_cols=["text"], frame_size=0),
+                       path, num_buckets=4, batch_id=1)
+    w = {r["term"]: r["weight"] for r in term_weights(idx).collect()}
+    assert w == {"table": 4, "fast": 4, "hash": 1}
+    got = [tuple(r) for r in suggest(idx, "fash", 1, k=2).collect()]
+    assert got == [("fast", 1, 4), ("hash", 1, 1)]  # weight desc
+
+
 def test_no_match_raises(index):
     with pytest.raises(ValueError, match="matched no vocabulary terms"):
         fuzzy_search(index, "qqqqqqqq", 1, k=5)
