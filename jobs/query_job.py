@@ -31,6 +31,10 @@ def main() -> int:
         help="parser = Lucene-lite query-string syntax "
         '(+must -not term~d pre* "phrase" field:op value)',
     )
+    ap.add_argument("--batch", action="store_true",
+                    help="with --engine parser: run ALL --query strings "
+                    "in one Spark job (execute_many; phrase/metadata "
+                    "clauses not supported in batch)")
     ap.add_argument("--cores", type=int, default=0)
     args = ap.parse_args()
 
@@ -51,6 +55,34 @@ def main() -> int:
     idx = InvertedIndex(spark, args.index_path)
     must_not = args.exclude.split() if args.exclude else []
     cidx = idx.compressed() if args.engine == "wand" else None
+
+    if args.batch:
+        if args.engine != "parser":
+            print(json.dumps({"error": "--batch requires --engine parser"}))
+            spark.stop()
+            return 2
+        from caterpillar_spark.query.parser import execute_many
+
+        qmap = {f"q{i}": q for i, q in enumerate(args.query)}
+        t0 = time.perf_counter()
+        rows = execute_many(idx, qmap, k=args.k, scorer="bm25").collect()
+        dt = time.perf_counter() - t0
+        by: dict = {qid: [] for qid in qmap}
+        for r in rows:
+            by[r["query_id"]].append(
+                {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+            )
+        print(json.dumps({
+            "engine": "parser-batch",
+            "k": args.k,
+            "seconds": round(dt, 4),
+            "seconds_per_query": round(dt / len(qmap), 4),
+            "results": [
+                {"query": qmap[qid], "hits": by[qid]} for qid in qmap
+            ],
+        }))
+        spark.stop()
+        return 0
 
     for q in args.query:
         terms = q.split()

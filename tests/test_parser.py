@@ -47,6 +47,29 @@ def test_parse_case_folding():
     assert s.metadata == {"LANG": {"=": "en"}}
 
 
+def test_parse_query_total_on_printable_garbage():
+    """parse_query is total over printable ASCII: it either returns a
+    QuerySpec or raises ValueError — never an unexpected exception
+    (regex edge cases: bare '~', '*', ':', unbalanced quotes)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=40,
+        )
+    )
+    def run(q):
+        try:
+            spec = parse_query(q)
+        except ValueError:
+            return
+        assert spec.must or spec.should or spec.phrases or spec.metadata
+
+    run()
+
+
 # ---------------------------------------------------------------- execution
 
 @pytest.fixture(scope="module")
