@@ -24,7 +24,12 @@ from caterpillar_spark.query.expand import (
 from caterpillar_spark.query.facets import facet_counts
 from caterpillar_spark.query.highlight import highlight_search, term_occurrences
 from caterpillar_spark.query.mlt import more_like_this
-from caterpillar_spark.query.parser import execute_many, execute_query, parse_query
+from caterpillar_spark.query.parser import (
+    execute_many,
+    execute_query,
+    execute_query_wand,
+    parse_query,
+)
 
 __all__ = [
     "MemoryIndex",
@@ -48,5 +53,6 @@ __all__ = [
     "more_like_this",
     "execute_many",
     "execute_query",
+    "execute_query_wand",
     "parse_query",
 ]

@@ -308,6 +308,78 @@ def execute_query(
     return scored.orderBy(F.desc("score"), *keys).limit(k)
 
 
+def execute_query_wand(
+    index,
+    compressed,
+    q: str,
+    k: int = 10,
+    max_expansions: int = 64,
+    **wand_kw,
+) -> DataFrame:
+    """Parsed query over the block-max WAND engine — the serving-speed
+    path (compressed lists instead of a postings scan; BM25 document
+    scoring, the wand formula).
+
+    ``compressed`` is the :class:`CompressedIndex`
+    (``InvertedIndex.compressed()``); ``index`` resolves expansions.
+    Expressibility: WAND evaluates pure-OR or pure-AND term sets, so
+    the query must be either all-optional (``should`` clauses only →
+    ``mode='or'``) or all-required single-term clauses
+    (``mode='and'``); ``-term`` exclusions map to WAND's
+    block-aligned ``must_not``.  Metadata clauses (not in the
+    compressed lists), phrase clauses (filtering after a top-k cut
+    would make the result approximate), and mixed must+should raise
+    ``ValueError`` — use :func:`execute_query` for those.
+    """
+    from caterpillar_spark.query.wand import wand_topk
+
+    spec = parse_query(q)
+    if spec.metadata:
+        raise ValueError(
+            "metadata clauses are not in the compressed lists — use "
+            "execute_query"
+        )
+    if spec.phrases or spec.not_phrases:
+        raise ValueError(
+            "phrase clauses would be approximate after a WAND top-k "
+            "cut — use execute_query"
+        )
+    resolved = _resolve_all(
+        index, [*spec.must, *spec.should, *spec.must_not], max_expansions
+    )
+    must_not = [
+        t for c in spec.must_not if resolved[c] for t in resolved[c]
+    ]
+    if spec.must and spec.should:
+        raise ValueError(
+            "WAND evaluates pure-OR or pure-AND term sets; mixed "
+            "must+should needs execute_query"
+        )
+    if spec.must:
+        groups = [resolved[c] for c in spec.must]
+        if any(g is None for g in groups):
+            spark = compressed.lists.sparkSession
+            return spark.createDataFrame([], "doc_id long, score double")
+        if any(len(g) > 1 for g in groups):
+            raise ValueError(
+                "a required variant group (fuzzy/prefix under '+') is "
+                "any-of — not expressible in WAND's AND mode; use "
+                "execute_query"
+            )
+        terms, mode = [g[0] for g in groups], "and"
+    else:
+        terms = [
+            t for c in spec.should if resolved[c] for t in resolved[c]
+        ]
+        mode = "or"
+        if not terms:
+            spark = compressed.lists.sparkSession
+            return spark.createDataFrame([], "doc_id long, score double")
+    return wand_topk(
+        compressed, terms, k=k, mode=mode, must_not=must_not, **wand_kw
+    )
+
+
 def execute_many(
     index,
     queries: Dict[str, str],

@@ -194,6 +194,58 @@ def test_execute_many_rejections(index):
         execute_many(index, {"q": "-spark lang:en"})
 
 
+def test_execute_query_wand_parity(index):
+    from caterpillar_spark.query.expand import fuzzy_terms, prefix_terms
+    from caterpillar_spark.query.parser import execute_query_wand
+    from caterpillar_spark.query.wand import CompressedIndex, wand_topk
+
+    cidx = CompressedIndex.build(index.postings(), num_buckets=4, block_bits=2)
+
+    # pure-OR with fuzzy+prefix expansion == wand_topk on the flat set
+    expanded = sorted(
+        {r["term"] for r in fuzzy_terms(index, "tabl", 1).collect()}
+        | {r["term"] for r in prefix_terms(index, "str").collect()}
+    )
+    want = [tuple(r) for r in wand_topk(cidx, expanded, k=5).collect()]
+    got = [
+        tuple(r)
+        for r in execute_query_wand(index, cidx, "tabl~1 str*", k=5).collect()
+    ]
+    assert got == want and got
+
+    # pure-AND single terms + exclusion
+    want = [
+        tuple(r)
+        for r in wand_topk(
+            cidx, ["spark", "table"], k=5, mode="and", must_not=["slow"]
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in execute_query_wand(
+            index, cidx, "+spark +table -slow", k=5
+        ).collect()
+    ]
+    assert got == want and got
+
+
+def test_execute_query_wand_rejections(index):
+    from caterpillar_spark.query.parser import execute_query_wand
+    from caterpillar_spark.query.wand import CompressedIndex
+
+    cidx = CompressedIndex.build(index.postings(), num_buckets=4, block_bits=2)
+    with pytest.raises(ValueError, match="mixed must\\+should"):
+        execute_query_wand(index, cidx, "+spark table")
+    with pytest.raises(ValueError, match="metadata"):
+        execute_query_wand(index, cidx, "spark lang:en")
+    with pytest.raises(ValueError, match="approximate"):
+        execute_query_wand(index, cidx, 'spark "fast hash"')
+    with pytest.raises(ValueError, match="any-of"):
+        execute_query_wand(index, cidx, "+hast~1")  # ball = {fast, hash}
+    # unsatisfiable required expansion -> empty, not an error
+    assert execute_query_wand(index, cidx, "+zzzz~1 +spark").collect() == []
+
+
 def test_unsatisfiable_must_expansion_is_empty(index):
     out = execute_query(index, "+zzzzzz~1 spark", k=10)
     assert out.collect() == []
