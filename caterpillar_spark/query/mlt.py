@@ -35,7 +35,14 @@ def mlt_seed_terms(
         .agg(F.sum("freq").alias("tf"))
         .where(F.col("tf") >= min_freq)
     )
-    stats = index.term_stats().select("term", "frames_occuring")
+    # term_stats carries one row per (term, field[, batch]) — merge to
+    # one df per term or a multi-field index double-counts the
+    # contribution and emits duplicate seed terms
+    stats = (
+        index.term_stats()
+        .groupBy("term")
+        .agg(F.sum("frames_occuring").alias("frames_occuring"))
+    )
     n = index.field_stats().agg(F.sum("frame_count")).first()[0] or 0
     rows = (
         doc_tf.join(stats, "term")

@@ -42,6 +42,25 @@ def test_more_like_this_excludes_seed_and_ranks(index):
     assert got[0][1] > got[1][1]
 
 
+def test_seed_terms_unique_on_multifield_index(spark):
+    """term_stats has one row per (term, field): seed extraction must
+    merge them — no duplicate seed terms, df summed across fields."""
+    docs = spark.createDataFrame(
+        [
+            (1, "rare gem", "rare title"),
+            (2, "rare common", "other words"),
+            (3, "common things", "more words"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    idx = MemoryIndex(
+        build_frames(docs, text_cols=["title", "body"], frame_size=0)
+    )
+    terms = mlt_seed_terms(idx, 1, max_terms=10)
+    assert len(terms) == len(set(terms))
+    assert set(terms) == {"rare", "gem", "title"}
+
+
 def test_mlt_unknown_doc_raises(index):
     with pytest.raises(ValueError, match="no indexed terms"):
         more_like_this(index, 999)
