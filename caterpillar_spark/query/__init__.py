@@ -26,6 +26,7 @@ from caterpillar_spark.query.highlight import highlight_search, term_occurrences
 from caterpillar_spark.query.mlt import more_like_this
 from caterpillar_spark.query.parser import (
     execute_many,
+    execute_many_wand,
     execute_query,
     execute_query_wand,
     parse_query,
@@ -52,6 +53,7 @@ __all__ = [
     "term_occurrences",
     "more_like_this",
     "execute_many",
+    "execute_many_wand",
     "execute_query",
     "execute_query_wand",
     "parse_query",

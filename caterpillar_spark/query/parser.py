@@ -380,6 +380,52 @@ def execute_query_wand(
     )
 
 
+def execute_many_wand(
+    index,
+    compressed,
+    queries: Dict[str, str],
+    k: int = 10,
+    max_expansions: int = 64,
+    **wand_kw,
+) -> DataFrame:
+    """Q parsed query strings over block-max WAND in ONE job:
+    ``(query_id, doc_id, score)``, per-query rows identical to
+    :func:`execute_query_wand`.  The batch kernel evaluates shared-mode
+    pure-OR term sets, so every query must be all-optional ``should``
+    clauses (fuzzy/prefix fine — expansions flatten into the OR set and
+    ALL queries' expansions resolve in one shared vocabulary scan);
+    ``+``/``-``/phrase/metadata clauses raise ``ValueError``."""
+    from caterpillar_spark.query.wand import wand_topk_many
+
+    specs = {qid: parse_query(s) for qid, s in queries.items()}
+    for qid, spec in specs.items():
+        if spec.must or spec.must_not:
+            raise ValueError(
+                f"query {qid!r}: the WAND batch kernel is shared-mode "
+                "pure-OR; +/- clauses need execute_query_wand"
+            )
+        if spec.phrases or spec.not_phrases or spec.metadata:
+            raise ValueError(
+                f"query {qid!r}: phrase/metadata clauses are not "
+                "supported on the WAND path — use execute_query"
+            )
+        if not spec.should:
+            raise ValueError(f"query {qid!r} has no term clause")
+    resolved = _resolve_all(
+        index,
+        [c for spec in specs.values() for c in spec.should],
+        max_expansions,
+    )
+    qterms = {}
+    for qid, spec in specs.items():
+        terms = [
+            t for c in spec.should if resolved[c] for t in resolved[c]
+        ]
+        if terms:
+            qterms[qid] = terms
+    return wand_topk_many(compressed, qterms, k=k, **wand_kw)
+
+
 def execute_many(
     index,
     queries: Dict[str, str],

@@ -246,6 +246,32 @@ def test_execute_query_wand_rejections(index):
     assert execute_query_wand(index, cidx, "+zzzz~1 +spark").collect() == []
 
 
+def test_execute_many_wand_parity(index):
+    from caterpillar_spark.query.parser import (
+        execute_many_wand,
+        execute_query_wand,
+    )
+    from caterpillar_spark.query.wand import CompressedIndex
+
+    cidx = CompressedIndex.build(index.postings(), num_buckets=4, block_bits=2)
+    qs = {"qa": "tabl~1 str*", "qb": "spark hash", "qc": "zzzz~1"}
+    batch = execute_many_wand(index, cidx, qs, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qid in ("qa", "qb"):
+        single = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in execute_query_wand(index, cidx, qs[qid], k=5).collect()
+        ]
+        assert got.get(qid, []) == single, qid
+    assert "qc" not in got  # unsatisfiable expansion contributes nothing
+    with pytest.raises(ValueError, match="pure-OR"):
+        execute_many_wand(index, cidx, {"q": "+spark table"})
+
+
 def test_unsatisfiable_must_expansion_is_empty(index):
     out = execute_query(index, "+zzzzzz~1 spark", k=10)
     assert out.collect() == []
