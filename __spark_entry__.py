@@ -339,6 +339,24 @@ def q_query_string_batch(spark, sf_dir):
     )
 
 
+def q_query_string_batch_wand(spark, sf_dir):
+    """Q parsed fuzzy/prefix query strings over the batch block-max
+    WAND kernel: one shared expansion scan + one wand_topk_many job.
+    Oracle: stitched per-query doc-level BM25 SQL with the expansions
+    expressed as levenshtein/LIKE predicates."""
+    from caterpillar_spark.query.parser import execute_many_wand
+
+    idx = _index_cached(sf_dir)
+    return _rounded(
+        execute_many_wand(
+            idx,
+            _compressed_cached(sf_dir),
+            {"qa": "tabl~1 s*", "qb": "row join"},
+            k=K,
+        )
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Solr-style facets: per-lang match counts over the query's full
     match set (not top-k)."""
@@ -691,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": q_suggest,
         "query_string_topk": q_query_string_topk,
         "query_string_batch": q_query_string_batch,
+        "query_string_batch_wand": q_query_string_batch_wand,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "repetition_stats": q_repetition_stats,
@@ -1069,6 +1088,43 @@ SELECT doc_id, score FROM (
     WHERE t.doc_id <> {MLT_SEED}
     GROUP BY t.doc_id
 ) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        # Batch WAND over parsed queries: doc-level BM25 (the wand
+        # formula — single-frame corpus, so dl/df match frame stats),
+        # expansions as levenshtein/LIKE predicates, stitched per query.
+        "query_string_batch_wand": f"""
+WITH {_TOK}
+SELECT 'qa' AS query_id, doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(
+               ln(1.0 + (c.n - s.ff + 0.5) / (s.ff + 0.5))
+               * (t.freq * 2.2)
+               / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN stats s ON t.term = s.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN consts c
+    WHERE levenshtein(t.term, 'tabl') <= 1 OR t.term LIKE 's%'
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id ASC LIMIT {K}
+)
+UNION ALL
+SELECT 'qb' AS query_id, doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(
+               ln(1.0 + (c.n - s.ff + 0.5) / (s.ff + 0.5))
+               * (t.freq * 2.2)
+               / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN stats s ON t.term = s.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN consts c
+    WHERE t.term IN ('row', 'join')
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id ASC LIMIT {K}
+)
 """,
         # Clause-term multiplicity matters: 'spark' sits in BOTH the
         # must group and the s* expansion, so (like Lucene) its tf-idf
