@@ -366,6 +366,30 @@ def q_facet_counts(spark, sf_dir):
     return facet_counts(idx, ["lang"], should=TOPK_TERMS, unit="document")
 
 
+def q_facet_ranges(spark, sf_dir):
+    """Numeric range facet: match counts per 100-char n_chars bucket
+    over the query's full match set."""
+    from caterpillar_spark.query.facets import facet_ranges
+
+    idx = _index_cached(sf_dir)
+    return facet_ranges(idx, "n_chars", 100, should=TOPK_TERMS, unit="document")
+
+
+def q_snippet_topk(spark, sf_dir):
+    """Keyword-in-context: highlight offsets plus the ±3-token snippet
+    string around each hit in the top documents."""
+    from caterpillar_spark.query.highlight import highlight_search
+
+    idx = _index_cached(sf_dir)
+    stored = _docs(spark, sf_dir).select("doc_id", "text")
+    return _rounded(
+        highlight_search(
+            idx, stored, k=K, unit="document", should=TOPK_TERMS,
+            scorer="tfidf", snippet_window=3,
+        )
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals: top-unigram/bigram instance
     fractions + duplicate-trigram fraction per document."""
@@ -712,8 +736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_batch_wand": q_query_string_batch_wand,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
+        "facet_ranges": q_facet_ranges,
         "repetition_stats": q_repetition_stats,
         "highlight_topk": q_highlight_topk,
+        "snippet_topk": q_snippet_topk,
         "metadata_inversion": q_metadata_inversion,
         "filter_range": q_filter_range,
         "attribute_filter": q_attribute_filter,
@@ -1165,6 +1191,16 @@ FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ({topk})) m
 JOIN dl d USING (doc_id)
 GROUP BY d.lang
 """,
+        "facet_ranges": f"""
+WITH {_TOK}
+SELECT floor(d.n_chars / 100.0) * 100.0 AS bucket_start,
+       floor(d.n_chars / 100.0) * 100.0 + 100.0 AS bucket_end,
+       count(*)::BIGINT AS n
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ({topk})) m
+JOIN dl d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1
+""",
         "highlight_topk": f"""
 WITH {_TOK},
 topk AS (
@@ -1180,6 +1216,30 @@ SELECT k.doc_id, k.score, o.term, o.pos::INT AS pos,
        (CASE WHEN o.pos = 0 THEN 0
              ELSE len(array_to_string(list_slice(str_split(d.text, ' '), 1, o.pos), ' ')) + 1
         END)::INT AS char_offset
+FROM topk k
+JOIN tok o ON o.doc_id = k.doc_id AND o.term IN ({topk})
+JOIN documents d ON d.doc_id = k.doc_id
+""",
+        "snippet_topk": f"""
+WITH {_TOK},
+topk AS (
+    SELECT doc_id, score FROM (
+        SELECT t.doc_id,
+               round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+        FROM tf t JOIN stats s ON t.term = s.term CROSS JOIN consts c
+        WHERE t.term IN ({topk})
+        GROUP BY t.doc_id
+    ) ORDER BY score DESC, doc_id ASC LIMIT {K}
+)
+SELECT k.doc_id, k.score, o.term, o.pos::INT AS pos,
+       (CASE WHEN o.pos = 0 THEN 0
+             ELSE len(array_to_string(list_slice(str_split(d.text, ' '), 1, o.pos), ' ')) + 1
+        END)::INT AS char_offset,
+       array_to_string(
+           list_slice(str_split(d.text, ' '),
+                      greatest(o.pos + 1 - 3, 1),
+                      least(o.pos + 1 + 3, len(str_split(d.text, ' ')))),
+           ' ') AS snippet
 FROM topk k
 JOIN tok o ON o.doc_id = k.doc_id AND o.term IN ({topk})
 JOIN documents d ON d.doc_id = k.doc_id

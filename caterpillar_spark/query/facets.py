@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["facet_counts"]
+__all__ = ["facet_counts", "facet_ranges"]
 
 
 def _meta_relation(index) -> DataFrame:
@@ -69,4 +69,52 @@ def facet_counts(
         .select(F.explode(F.create_map(*kv)).alias("field", "value"))
         .groupBy("field", "value")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def facet_ranges(
+    index,
+    field: str,
+    width: float,
+    meta: Optional[DataFrame] = None,
+    unit: str = "document",
+    **query_kw,
+) -> DataFrame:
+    """Range (histogram) facet over a NUMERIC metadata field: match
+    counts per fixed-width bucket, ``(bucket_start, bucket_end, n)``
+    with ``bucket_start = floor(value / width) * width`` — the
+    search-UI numeric sidebar (price/length/date-ordinal ranges).
+
+    Same scale shape as :func:`facet_counts`: match set ⋈ metadata,
+    one partial-aggregated groupBy on the bucket key; output
+    cardinality = value range / width.  Null field values are dropped
+    (they have no bucket).
+    """
+    from caterpillar_spark.query.engine import filter_frames
+
+    if width <= 0:
+        raise ValueError("width must be positive")
+    matches = filter_frames(index, unit=unit, **query_kw)
+    keys = [c for c in matches.columns if c != "score"]
+    src = meta if meta is not None else _meta_relation(index)
+    missing = [c for c in [*keys, field] if c not in src.columns]
+    if missing:
+        raise ValueError(f"metadata relation lacks columns {missing}")
+    src = src.select(*keys, field).dropDuplicates(keys)
+    start = (
+        F.floor(F.col(field).cast("double") / F.lit(float(width)))
+        * F.lit(float(width))
+    )
+    return (
+        matches.select(*keys)
+        .join(src, keys)
+        .where(F.col(field).isNotNull())
+        .select(start.alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket_start",
+            (F.col("bucket_start") + F.lit(float(width))).alias("bucket_end"),
+            "n",
+        )
     )

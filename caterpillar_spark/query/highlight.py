@@ -17,7 +17,7 @@ shuffle, no Python.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -29,15 +29,18 @@ def term_occurrences(
     terms: Sequence[str],
     text_col: str = "text",
     keep: Sequence[str] = ("doc_id",),
+    snippet_window: Optional[int] = None,
 ) -> DataFrame:
     """Occurrences of ``terms`` in ``text_col`` as one row per match:
-    ``(*keep, term, pos, char_offset)``.
+    ``(*keep, term, pos, char_offset[, snippet])``.
 
     ``pos`` is the 0-based whitespace-token index; ``char_offset`` the
     0-based character offset of the token in the stored string (exact:
     both are derived from the stored text, so a renderer can slice the
     string directly).  Matching is case-insensitive equality on
-    whitespace tokens.
+    whitespace tokens.  ``snippet_window=w`` adds the ±w-token context
+    string around each hit (row-local slice of the stored tokens — the
+    "keyword in context" a result page shows).
     """
     terms = [t.lower() for t in terms]
     toks = F.split(F.col(text_col), " ")
@@ -53,12 +56,24 @@ def term_occurrences(
     char_offset = F.when(pos == 0, F.lit(0)).otherwise(
         F.length(F.concat_ws(" ", F.slice(F.col("_toks"), 1, pos))) + 1
     )
-    return out.select(
+    cols = [
         *keep,
         F.col("_h.term").alias("term"),
         pos.alias("pos"),
         char_offset.cast("int").alias("char_offset"),
-    )
+    ]
+    if snippet_window is not None:
+        if snippet_window < 0:
+            raise ValueError("snippet_window must be >= 0")
+        w = int(snippet_window)
+        start1 = F.greatest(pos + 1 - w, F.lit(1))
+        end1 = F.least(pos + 1 + w, F.size("_toks"))
+        cols.append(
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), start1, end1 - start1 + 1)
+            ).alias("snippet")
+        )
+    return out.select(*cols)
 
 
 def highlight_search(
@@ -67,6 +82,7 @@ def highlight_search(
     k: int = 10,
     text_col: str = "text",
     unit: str = "document",
+    snippet_window: Optional[int] = None,
     **search_kw,
 ) -> DataFrame:
     """Ranked retrieval + highlight offsets in ONE relation:
@@ -93,5 +109,9 @@ def highlight_search(
     keys = [c for c in top.columns if c != "score"]
     joined = F.broadcast(top).join(stored, on=keys)
     return term_occurrences(
-        joined, terms, text_col=text_col, keep=[*keys, "score"]
+        joined,
+        terms,
+        text_col=text_col,
+        keep=[*keys, "score"],
+        snippet_window=snippet_window,
     )

@@ -56,6 +56,19 @@ def test_must_not_and_boolean_semantics(index):
     assert got == {("lang", "en"): 1}  # only doc 2
 
 
+def test_facet_ranges(index):
+    from caterpillar_spark.query.facets import facet_ranges
+
+    got = {
+        (r["bucket_start"], r["bucket_end"]): r["n"]
+        for r in facet_ranges(index, "n_chars", 15, should=["spark"]).collect()
+    }
+    # docs 1,2,3 match; n_chars 10,20,10 -> [0,15): 2, [15,30): 1
+    assert got == {(0.0, 15.0): 2, (15.0, 30.0): 1}
+    with pytest.raises(ValueError, match="width"):
+        facet_ranges(index, "n_chars", 0, should=["spark"])
+
+
 def test_errors(index):
     with pytest.raises(ValueError, match="facet field"):
         facet_counts(index, [], should=["spark"])

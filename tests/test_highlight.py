@@ -81,6 +81,29 @@ def test_frame_unit_highlight(corpus):
     assert {r["term"] for r in out.collect()} == {"table"}
 
 
+def test_snippet_window(corpus):
+    docs, idx = corpus
+    out = highlight_search(
+        idx, docs, k=1, unit="document", should=["table"], snippet_window=2
+    ).collect()
+    # doc 1: "spark joins a table to a table"
+    by_pos = {r["pos"]: r["snippet"] for r in out}
+    assert by_pos == {
+        3: "joins a table to a",
+        6: "to a table",  # window clipped at the document end
+    }
+    wide = term_occurrences(
+        docs, ["spark"], snippet_window=100
+    ).collect()
+    # window wider than the doc = the whole text
+    assert all(
+        r["snippet"].lower().count(r["term"]) >= 1 and " " in r["snippet"]
+        for r in wide
+    )
+    with pytest.raises(ValueError, match="snippet_window"):
+        term_occurrences(docs, ["spark"], snippet_window=-1)
+
+
 def test_plan_jvm_only_and_broadcast(corpus):
     docs, idx = corpus
     plan = (
