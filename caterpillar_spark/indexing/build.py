@@ -754,3 +754,44 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     ).get("deleted_docs", 0) + len(list(doc_ids))
     _save_manifest(index.path, manifest)
     return InvertedIndex(spark, index.path)
+
+
+def index_info(index: InvertedIndex) -> dict:
+    """Operational snapshot of a persisted index: manifest identity,
+    per-layout on-disk footprint, and corpus statistics.
+
+    Driver-side: the footprint walk touches file metadata only (layout
+    directories hold one file per bucket/slice — thousands of entries,
+    not corpus-scale) and the two statistics reads are metadata-table
+    scans (term_stats/field_stats are per-term/per-field relations).
+    """
+    m = index.manifest
+    layouts = {}
+    for name in sorted(os.listdir(index.path)):
+        p = os.path.join(index.path, name)
+        if not os.path.isdir(p) or name.endswith(".old"):
+            continue
+        files = nbytes = 0
+        for root, _dirs, fnames in os.walk(p):
+            for f in fnames:
+                files += 1
+                nbytes += os.path.getsize(os.path.join(root, f))
+        layouts[name] = {"files": files, "bytes": nbytes}
+    stats = index.term_stats().groupBy().agg(
+        F.countDistinct("term").alias("vocab"),
+        F.sum("total_occurrences").alias("tokens"),
+    ).first()
+    return {
+        "path": index.path,
+        "revision": m.get("revision"),
+        "num_buckets": m.get("num_buckets"),
+        "block_bits": m.get("block_bits"),
+        "with_positions": bool(m.get("with_positions")),
+        "source": m.get("source"),
+        "n_docs": m.get("n_docs"),
+        "avgdl": m.get("avgdl"),
+        "vocabulary_size": int(stats["vocab"] or 0),
+        "total_tokens": int(stats["tokens"] or 0),
+        "layouts": layouts,
+        "total_bytes": sum(v["bytes"] for v in layouts.values()),
+    }
