@@ -386,11 +386,22 @@ def filter_frames(
     b: float = BM25_B,
     unit: str = "frame",
     schema=None,
+    field_boosts: Optional[dict] = None,
 ) -> DataFrame:
     """Boolean retrieval returning all qualifying units with scores.
 
     Result columns: ``doc_id`` (+ ``field``, ``frame_seq`` when
     unit='frame'), ``score``.  Use :func:`search` for ranked top-k.
+
+    ``field_boosts`` (``{field: weight}``, missing fields weight 1.0)
+    multiplies each posting's score contribution by its field's weight
+    — BM25F-lite per-field weighting (title > body); a row-local map
+    lookup, no plan change.  Boolean gating (must/should counts) is
+    unaffected: a boost of 0.0 silences a field's score without
+    un-matching it (use ``exclude_fields`` to remove it entirely).
+    Not supported with ``scorer='bm25_doc'`` (tf is summed across
+    fields before saturation there, so a per-posting multiplier has no
+    sound place — BM25F proper would weight tf inside the sum).
     """
     if not (must or should or at_least_n):
         raise ValueError("need at least one positive term (must/should/at_least_n)")
@@ -463,6 +474,19 @@ def filter_frames(
         )
     else:
         contrib = F.col("freq") * F.col("weight")
+
+    if field_boosts:
+        if scorer == "bm25_doc":
+            raise ValueError(
+                "field_boosts is per-posting; bm25_doc saturates tf "
+                "across fields first — use scorer='bm25' or 'tfidf'"
+            )
+        kv = []
+        for fname, boost in sorted(field_boosts.items()):
+            kv.extend([F.lit(fname), F.lit(float(boost))])
+        contrib = contrib * F.coalesce(
+            F.element_at(F.create_map(*kv), F.col("field")), F.lit(1.0)
+        )
 
     # Frame identity is (doc_id, field, frame_seq): frame ordinals are
     # per-(doc, field), so a multi-field index must not conflate the
