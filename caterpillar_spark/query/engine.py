@@ -394,14 +394,15 @@ def filter_frames(
     unit='frame'), ``score``.  Use :func:`search` for ranked top-k.
 
     ``field_boosts`` (``{field: weight}``, missing fields weight 1.0)
-    multiplies each posting's score contribution by its field's weight
-    — BM25F-lite per-field weighting (title > body); a row-local map
+    weights fields against each other (title > body); a row-local map
     lookup, no plan change.  Boolean gating (must/should counts) is
     unaffected: a boost of 0.0 silences a field's score without
     un-matching it (use ``exclude_fields`` to remove it entirely).
-    Not supported with ``scorer='bm25_doc'`` (tf is summed across
-    fields before saturation there, so a per-posting multiplier has no
-    sound place — BM25F proper would weight tf inside the sum).
+    Frame scorers (tfidf/bm25) multiply each posting's contribution;
+    ``bm25_doc`` applies BM25F proper (Robertson/Zaragoza) — the
+    weighted tf sum Σ_field w_f·tf_f feeds the saturation, so boosting
+    a field raises saturated relevance rather than scaling a
+    saturated score.
     """
     if not (must or should or at_least_n):
         raise ValueError("need at least one positive term (must/should/at_least_n)")
@@ -450,12 +451,24 @@ def filter_frames(
         # query/wand.py:29-31): tf summed over the doc's frames BEFORE
         # saturation, dl = document token count, idf over document
         # frequencies.  One extra partial-agg shuffle vs the frame
-        # scorers; ``unit`` must be 'document'.
+        # scorers; ``unit`` must be 'document'.  With ``field_boosts``
+        # this is BM25F proper (Robertson/Zaragoza): the weighted tf
+        # sum tf_doc = Σ_field w_f·tf_f feeds the saturation, so a
+        # boosted field raises saturated relevance instead of scaling
+        # an already-saturated score.
         if unit != "document":
             raise ValueError("scorer='bm25_doc' requires unit='document'")
+        tf_term = F.col("freq").cast("double")
+        if field_boosts:
+            kv = []
+            for fname, boost in sorted(field_boosts.items()):
+                kv.extend([F.lit(fname), F.lit(float(boost))])
+            tf_term = tf_term * F.coalesce(
+                F.element_at(F.create_map(*kv), F.col("field")), F.lit(1.0)
+            )
         per_term = joined.groupBy(
             "doc_id", "term", "group_id", "kind", "weight"
-        ).agg(F.sum("freq").alias("tf"))
+        ).agg(F.sum(tf_term).alias("tf"))
         joined = per_term.join(
             _scoped_doc_lens(index, include_fields, exclude_fields), "doc_id"
         )
@@ -475,12 +488,9 @@ def filter_frames(
     else:
         contrib = F.col("freq") * F.col("weight")
 
-    if field_boosts:
-        if scorer == "bm25_doc":
-            raise ValueError(
-                "field_boosts is per-posting; bm25_doc saturates tf "
-                "across fields first — use scorer='bm25' or 'tfidf'"
-            )
+    if field_boosts and scorer != "bm25_doc":
+        # frame scorers: per-posting multiplier (bm25_doc weights tf
+        # inside its saturation sum above — BM25F proper)
         kv = []
         for fname, boost in sorted(field_boosts.items()):
             kv.extend([F.lit(fname), F.lit(float(boost))])

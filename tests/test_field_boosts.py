@@ -64,9 +64,29 @@ def test_boost_changes_ranking(index):
     assert boosted[0] == 1
 
 
-def test_bm25_doc_rejects_boosts(index):
-    with pytest.raises(ValueError, match="bm25_doc"):
-        filter_frames(
-            index, should=["gem"], unit="document", scorer="bm25_doc",
-            field_boosts={"title": 2.0},
-        )
+def test_bm25f_weights_tf_inside_saturation(index):
+    """bm25_doc + field_boosts = BM25F proper: tf_doc = sum_f w_f*tf_f
+    BEFORE saturation.  Hand-computed on the fixture corpus:
+    N=3 docs, df(gem)=2, dl = (5, 7, 3), avgdl = 5."""
+    import math
+
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def bm25(tf_w, dl):
+        return idf * tf_w * (k1 + 1) / (tf_w + k1 * (1 - b + b * dl / 5.0))
+
+    got = _scores(
+        index, should=["gem"], scorer="bm25_doc", field_boosts={"title": 3.0}
+    )
+    # doc1: gem tf 1 in title -> tf_w = 3; doc2: tf 2 in body -> tf_w = 2
+    assert got[1] == pytest.approx(bm25(3.0, 5), rel=1e-12)
+    assert got[2] == pytest.approx(bm25(2.0, 7), rel=1e-12)
+    # boosts of 1.0 == plain bm25_doc
+    plain = _scores(index, should=["gem"], scorer="bm25_doc")
+    ones = _scores(
+        index, should=["gem"], scorer="bm25_doc", field_boosts={"title": 1.0}
+    )
+    assert plain == ones
+    # saturation: tripling the field weight must NOT triple the score
+    assert got[1] < 3 * plain[1]
