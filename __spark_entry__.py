@@ -390,6 +390,14 @@ def q_snippet_topk(spark, sf_dir):
     )
 
 
+def q_source_stats(spark, sf_dir):
+    """Per-source crawl-health rollup: doc count, mean chars, distinct
+    languages, exact-dup fraction."""
+    from caterpillar_spark.ops.textstats import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals: top-unigram/bigram instance
     fractions + duplicate-trigram fraction per document."""
@@ -738,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "facet_ranges": q_facet_ranges,
         "repetition_stats": q_repetition_stats,
+        "source_stats": q_source_stats,
         "highlight_topk": q_highlight_topk,
         "snippet_topk": q_snippet_topk,
         "metadata_inversion": q_metadata_inversion,
@@ -1243,6 +1252,16 @@ SELECT k.doc_id, k.score, o.term, o.pos::INT AS pos,
 FROM topk k
 JOIN tok o ON o.doc_id = k.doc_id AND o.term IN ({topk})
 JOIN documents d ON d.doc_id = k.doc_id
+""",
+        "source_stats": """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(avg(length(text)), 6) AS mean_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(1.0 - count(DISTINCT md5(array_to_string(str_split(text, ' '), ' ')))::DOUBLE
+                   / count(*), 6) AS dup_frac
+FROM documents
+GROUP BY source
 """,
         "repetition_stats": f"""
 WITH {_TOK},

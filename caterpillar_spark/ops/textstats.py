@@ -202,6 +202,45 @@ def gopher_quality_flags(
     )
 
 
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source crawl-health rollup: document count, mean character
+    length, distinct languages, and exact-duplicate fraction
+    (1 − distinct content fingerprints / docs — the same normalized
+    md5 fingerprint :func:`fingerprints` and exact dedup use).  The
+    view a crawl operator ranks hosts/dumps by before deciding what to
+    drop wholesale.
+
+    One partial-aggregated ``groupBy`` keyed by source (the distinct
+    counts add their internal expand — still source-keyed, no skewable
+    hot key beyond a genuinely dominant source; at 10^12 docs swap the
+    exact distincts for ``approx_count_distinct`` if ±2% is
+    acceptable)."""
+    toks = tokens_col(text_col)
+    fp = F.md5(F.concat_ws(" ", toks))
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.length(text_col).alias("_chars"),
+            F.col(lang_col).alias("_lang"),
+            fp.alias("_fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_chars"), 6).alias("mean_chars"),
+            F.countDistinct("_lang").alias("n_langs"),
+            F.round(
+                1.0 - F.countDistinct("_fp") / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -58,6 +58,27 @@ def test_rejects_bad_sizes(docs):
         repetition_stats(docs, top_ngrams=(0,))
 
 
+def test_source_stats(spark):
+    from caterpillar_spark.ops.textstats import source_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup text", "en", "a"),
+            (2, "dup text", "de", "a"),   # exact dup of 1 (diff lang)
+            (3, "unique here", "en", "a"),
+            (4, "other site", "en", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["source"]: r for r in source_stats(docs).collect()}
+    a = got["a"]
+    assert a["n_docs"] == 3 and a["n_langs"] == 2
+    assert a["dup_frac"] == round(1 - 2 / 3, 6)
+    assert a["mean_chars"] == round((8 + 8 + 11) / 3, 6)
+    b = got["b"]
+    assert (b["n_docs"], b["n_langs"], b["dup_frac"]) == (1, 1, 0.0)
+
+
 def test_plan_is_jvm_only(docs):
     plan = (
         repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
