@@ -20,8 +20,11 @@ import time
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-path", required=True)
-    ap.add_argument("--query", action="append", required=True,
+    ap.add_argument("--query", action="append", default=[],
                     help="space-separated terms; repeatable")
+    ap.add_argument("--suggest", default="",
+                    help="did-you-mean: print the d<=2 fuzzy ball of this "
+                    "term ranked by corpus frequency, then exit")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["or", "and"], default="or")
     ap.add_argument("--exclude", default="",
@@ -53,6 +56,28 @@ def main() -> int:
     from caterpillar_spark.query.wand import wand_topk
 
     idx = InvertedIndex(spark, args.index_path)
+
+    if args.suggest:
+        from caterpillar_spark.query.expand import suggest
+
+        t0 = time.perf_counter()
+        rows = suggest(idx, args.suggest.lower(), max_edits=2, k=5).collect()
+        print(json.dumps({
+            "suggest": args.suggest,
+            "seconds": round(time.perf_counter() - t0, 4),
+            "candidates": [
+                {"term": r["term"], "distance": r["distance"],
+                 "weight": r["weight"]}
+                for r in rows
+            ],
+        }))
+        spark.stop()
+        return 0
+    if not args.query:
+        print(json.dumps({"error": "need --query or --suggest"}))
+        spark.stop()
+        return 2
+
     must_not = args.exclude.split() if args.exclude else []
     cidx = idx.compressed() if args.engine == "wand" else None
 
