@@ -646,6 +646,18 @@ def q_topk_stored_docs(spark, sf_dir):
     return top.join(docs, "doc_id").select("doc_id", "score", "lang", "n_chars")
 
 
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval: BM25 top-50 fused with exact
+    cosine top-50 by reciprocal-rank fusion (rrf_k=60); ranks assigned
+    over 6-decimal-rounded scores for cross-engine determinism."""
+    from caterpillar_spark.ops.hybrid import hybrid_topk
+
+    idx = _index_cached(sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return hybrid_topk(idx, emb, TOPK_TERMS, qvec, k=K, depth=50)
+
+
 def q_cosine_topk(spark, sf_dir):
     from caterpillar_spark.ops import cosine_topk
 
@@ -770,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_stored_docs": q_topk_stored_docs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "hybrid_topk": q_hybrid_topk,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
@@ -1552,6 +1565,49 @@ JOIN sets b ON b.doc_id = c.id_b
 WHERE round(len(list_intersect(a.s, b.s))
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
             6) >= 0.2
+""",
+        # RRF hybrid: ranks over 6dp-rounded scores (the fusion
+        # determinism contract), 1/(60+rank) summed per doc.
+        "hybrid_topk": f"""
+WITH {_TOK},
+lexr AS (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+    FROM (
+        SELECT t.doc_id,
+               round(sum(
+                   ln(1.0 + (c.n - st.ff + 0.5) / (st.ff + 0.5))
+                   * (t.freq * 2.2)
+                   / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+               ), 6) AS s
+        FROM tf t
+        JOIN stats st ON t.term = st.term
+        JOIN dl d ON t.doc_id = d.doc_id
+        CROSS JOIN consts c
+        WHERE t.term IN ({topk})
+        GROUP BY t.doc_id
+        ORDER BY s DESC, t.doc_id ASC LIMIT 50
+    )
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+semr AS (
+    SELECT doc_id, row_number() OVER (ORDER BY cosv DESC, doc_id ASC) AS rank
+    FROM (
+        SELECT e.vec_id AS doc_id,
+               round(
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> e.embedding[i]::DOUBLE * qv.v[i]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                    * sqrt(list_sum(list_transform(qv.v, x -> x::DOUBLE * x::DOUBLE)))),
+                 6) AS cosv
+        FROM embeddings e CROSS JOIN qv
+        ORDER BY cosv DESC, e.vec_id ASC LIMIT 50
+    )
+)
+SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+FROM (SELECT * FROM lexr UNION ALL SELECT * FROM semr)
+GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {K}
 """,
         "cosine_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
