@@ -689,6 +689,16 @@ def q_windowed_events(spark, sf_dir):
     return windowed_event_counts(events, "1 hour")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table (30-min timeout):
+    per-session start/end/count/duration/value rollups; boundaries in
+    exact integer microseconds."""
+    from caterpillar_spark.ops.sessions import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap_seconds=1800)
+
+
 def q_ann_topk(spark, sf_dir):
     """Multi-table multi-probe hyperplane LSH: 8 tables x 8 planes,
     1-bit probes — recall@10 ~0.7 on the pessimal i.i.d. corpus at
@@ -788,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "windowed_events": q_windowed_events,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1652,6 +1663,32 @@ WHERE round(
         # reproduces the exact same sign bits, <=1-bit multi-probe
         # candidate set, cosine and (desc, id asc) top-k in SQL.
         # Tumbling 1h windows align to epoch hours == date_trunc('hour').
+        # Gap sessions in exact integer microseconds; same-timestamp
+        # ties land in one session regardless of tiebreak order.
+        "sessionize": """
+WITH e AS (
+    SELECT user_id, ts, value, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+    SELECT user_id, ts, value, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0
+           END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           (sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING))::INT AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6) AS duration_seconds,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_seq
+""",
         "windowed_events": """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
