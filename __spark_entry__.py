@@ -689,6 +689,15 @@ def q_windowed_events(spark, sf_dir):
     return windowed_event_counts(events, "1 hour")
 
 
+def q_significant_terms(spark, sf_dir):
+    """Elasticsearch-style significant_terms: terms overrepresented in
+    the query's match set vs the corpus (lift score)."""
+    from caterpillar_spark.query.analytics import significant_terms
+
+    idx = _index_cached(sf_dir)
+    return significant_terms(idx, k=K, min_fg_docs=2, should=TOPK_TERMS)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events table (30-min timeout):
     per-session start/end/count/duration/value rollups; boundaries in
@@ -799,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
+        "significant_terms": q_significant_terms,
     }
 
 
@@ -1663,6 +1673,27 @@ WHERE round(
         # reproduces the exact same sign bits, <=1-bit multi-probe
         # candidate set, cosine and (desc, id asc) top-k in SQL.
         # Tumbling 1h windows align to epoch hours == date_trunc('hour').
+        "significant_terms": f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({topk})),
+nfg AS (SELECT count(*)::DOUBLE AS nf FROM m),
+nbg AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nb FROM tf),
+fg AS (
+    SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS fg_docs
+    FROM tf t JOIN m USING (doc_id)
+    GROUP BY t.term
+    HAVING count(DISTINCT t.doc_id) >= 2
+),
+bg AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_docs
+    FROM tf GROUP BY term
+)
+SELECT term, fg_docs, bg_docs,
+       round((fg_docs::DOUBLE / nfg.nf) / (bg_docs::DOUBLE / nbg.nb), 6) AS lift
+FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nbg
+ORDER BY lift DESC, term ASC
+LIMIT {K}
+""",
         # Gap sessions in exact integer microseconds; same-timestamp
         # ties land in one session regardless of tiebreak order.
         "sessionize": """

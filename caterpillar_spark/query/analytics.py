@@ -263,3 +263,63 @@ def find_bi_gram_words(
         )
     )
     return scored.where(F.col("score") > threshold)
+
+
+def significant_terms(
+    index,
+    k: int = 20,
+    min_fg_docs: int = 2,
+    **query_kw,
+) -> DataFrame:
+    """Terms overrepresented in a query's match set vs the corpus
+    (Elasticsearch ``significant_terms``): for each term, its document
+    frequency within the matched documents (foreground) against its
+    corpus document frequency (background), scored by lift =
+    (fg_docs/n_fg) / (bg_docs/n_bg).  Returns the top-``k`` by
+    (lift desc, term asc): ``(term, fg_docs, bg_docs, lift)``.
+
+    ``query_kw`` is any :func:`filter_frames` spec.  The query's own
+    terms naturally rank high; the interesting output is what ELSE
+    co-selects with the match set (the "what is this result set
+    about" panel).
+
+    Shape: matched doc-ids semi-join the postings scan (broadcastable
+    — a match set is usually far smaller than the corpus), one
+    distinct-doc aggregation per side, scalar totals via broadcast
+    1-row cross joins (no driver collect)."""
+    from caterpillar_spark.query.engine import filter_frames
+
+    matches = filter_frames(index, unit="document", **query_kw).select(
+        "doc_id"
+    )
+    posts = index.postings().select("term", "doc_id")
+    fg = (
+        posts.join(matches, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("fg_docs"))
+        .where(F.col("fg_docs") >= min_fg_docs)
+    )
+    bg = posts.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("bg_docs")
+    )
+    n_fg = matches.agg(F.count(F.lit(1)).alias("n_fg"))
+    n_bg = posts.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_bg")
+    )
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(n_fg))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "term",
+            "fg_docs",
+            "bg_docs",
+            F.round(
+                (F.col("fg_docs") / F.col("n_fg"))
+                / (F.col("bg_docs") / F.col("n_bg")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("term"))
+        .limit(k)
+    )
