@@ -223,11 +223,15 @@ def q_metadata_only(spark, sf_dir):
 
 
 def q_tf_vectors(spark, sf_dir):
-    from caterpillar_spark.query.vectors import tf_vectors
+    """Term-frequency vectors routed through the PERSISTED index's
+    doc-major forward layout (r5: the reference's frame-clustered
+    second posting copy) — per-document reads prune to fwd_bucket
+    partitions instead of scanning the term-major postings."""
+    from caterpillar_spark.query.vectors import tf_vectors_index
 
-    idx = _index_cached(sf_dir)
+    idx = _persisted_index_cached(sf_dir)
     return (
-        tf_vectors(idx.postings(), unit="document")
+        tf_vectors_index(idx, unit="document")
         .select("doc_id", F.explode("vector").alias("v"))
         .select("doc_id", F.col("v.term").alias("term"), F.col("v.freq").alias("freq"))
     )
@@ -300,10 +304,13 @@ def q_highlight_topk(spark, sf_dir):
 
 def q_more_like_this(spark, sf_dir):
     """Lucene-style MoreLikeThis: seed query = doc 42's top-5 terms by
-    tf-idf (deterministic tie-break), ranked search excluding the seed."""
+    tf-idf (deterministic tie-break), ranked search excluding the seed.
+    Runs against the PERSISTED index (r5): seed extraction is a
+    bucket-pruned point read of the doc-major forward layout, not a
+    term-major postings scan."""
     from caterpillar_spark.query.mlt import more_like_this
 
-    idx = _index_cached(sf_dir)
+    idx = _persisted_index_cached(sf_dir)
     return _rounded(more_like_this(idx, MLT_SEED, max_terms=5, k=K))
 
 

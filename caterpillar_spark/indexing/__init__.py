@@ -11,6 +11,7 @@ from caterpillar_spark.indexing.build import (
     InvertedIndex,
     add_attributes,
     build_index,
+    forward_rows,
     postings_with_bucket,
     term_statistics,
     field_statistics,
@@ -20,6 +21,7 @@ __all__ = [
     "InvertedIndex",
     "add_attributes",
     "build_index",
+    "forward_rows",
     "postings_with_bucket",
     "term_statistics",
     "field_statistics",

@@ -12,6 +12,17 @@ Layout (all parquet, under one index root):
                             reference maintains incrementally in
                             term_statistics (_sqlite_scripts.py:105-119,
                             305-341), here one shuffle aggregation.
+  forward/fwd_bucket=B/     doc-major (forward) posting copy: one row
+                            per (doc_id, field, frame_seq, term) with
+                            freq, partitioned by pmod(doc_id, buckets)
+                            and doc_id-sorted within files.  The Spark
+                            analog of the reference's second, frame-id-
+                            clustered posting table
+                            (_sqlite_v0_10_0_schema.py:121-142) kept
+                            precisely so per-document reads (term
+                            vectors, MoreLikeThis seeds) never scan the
+                            term-major index: a doc lookup prunes to one
+                            partition + one row group.
   field_stats/              per field: frame count (the "N" of idf,
                             _sqlite_scripts.py:354-357), token count
                             and avg frame length (BM25 avgdl).
@@ -53,6 +64,22 @@ DEFAULT_BUCKETS = 64
 def postings_with_bucket(postings: DataFrame, num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     return postings.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    )
+
+
+def forward_rows(postings: DataFrame, fwd_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Doc-major projection of the postings relation: the ``forward/``
+    layout's rows.  ``fwd_bucket = pmod(doc_id, fwd_buckets)`` is
+    driver-computable for point reads (Python's ``%`` matches Spark's
+    ``pmod`` for positive moduli), and doc ids are xxhash64-uniform so
+    buckets balance."""
+    return postings.select(
+        F.pmod(F.col("doc_id"), F.lit(fwd_buckets)).cast("int").alias("fwd_bucket"),
+        "doc_id",
+        "field",
+        "frame_seq",
+        "term",
+        F.col("freq").cast("int").alias("freq"),
     )
 
 
@@ -160,6 +187,28 @@ class InvertedIndex:
             )
         return self.spark.read.parquet(src)
 
+    def has_forward(self) -> bool:
+        return os.path.isdir(os.path.join(self.path, "forward")) or (
+            os.path.isdir(os.path.join(self.path, "forward.old"))
+        )
+
+    def forward(self) -> DataFrame:
+        """Doc-major posting copy (fwd_bucket, doc_id, field, frame_seq,
+        term, freq) — built ``with_forward=True``.  Per-document reads
+        go through :meth:`doc_forward`, which prunes to one bucket."""
+        return self.spark.read.parquet(self._table("forward"))
+
+    def doc_forward(self, doc_id: int) -> DataFrame:
+        """One document's forward rows: fwd_bucket partition pruning
+        (computed driver-side, no pre-job) + a literal doc_id predicate
+        that parquet row-group min/max stats use because files are
+        doc-sorted — a point read, not a scan."""
+        nb = self.manifest.get("fwd_buckets")
+        fwd = self.forward()
+        if nb:
+            fwd = fwd.where(F.col("fwd_bucket") == int(doc_id) % int(nb))
+        return fwd.where(F.col("doc_id") == doc_id)
+
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(self._table("term_stats"))
 
@@ -252,6 +301,7 @@ def build_index(
     block_bits: int = 4,
     source: Optional[str] = None,
     with_positions: bool = False,
+    with_forward: bool = True,
 ) -> InvertedIndex:
     """Build (or resume building) the inverted index at ``path``.
 
@@ -280,6 +330,14 @@ def build_index(
     layout (``positions/``, POSITION_LIST_SCHEMA) per slice, so
     phrase/ngram search runs over delta+varint position streams
     instead of the raw postings parquet (query/phrase.py).
+
+    ``with_forward`` (default on) writes the doc-major ``forward/``
+    layout — the reference's frame-clustered second posting copy
+    (_sqlite_v0_10_0_schema.py:121-142) — so per-document term reads
+    (MoreLikeThis seeds, tf vectors) are bucket-pruned point reads
+    instead of term-major postings scans.  It is written once from the
+    full postings relation (doc partitioning is orthogonal to the
+    term-bucket checkpoint slices) alongside the statistics tables.
     """
     from caterpillar_spark.indexing.postinglists import (
         build_position_lists,
@@ -315,6 +373,12 @@ def build_index(
         manifest["with_positions"] = True
     elif manifest.get("with_positions"):
         with_positions = True  # resumed build keeps its layouts
+    if manifest.get("stats_done"):
+        # resumed build past the stats/forward phase keeps its choice
+        with_forward = bool(manifest.get("with_forward"))
+    if with_forward:
+        manifest["with_forward"] = True
+        manifest.setdefault("fwd_buckets", num_buckets)
 
     # The build reads the frames relation several times (corpus
     # constants, doc lengths, both posting layouts per slice, field
@@ -421,6 +485,19 @@ def build_index(
             os.path.join(path, "field_stats")
         )
 
+    def write_forward():
+        # Doc-major copy: repartition by doc_id for write parallelism
+        # (rows of one doc colocate), route into pmod buckets, sort by
+        # doc_id within files so point reads prune row groups.
+        (
+            forward_rows(posts.drop("term_bucket"), manifest["fwd_buckets"])
+            .repartition(wp, "doc_id")
+            .sortWithinPartitions("fwd_bucket", "doc_id", "field", "frame_seq", "term")
+            .write.partitionBy("fwd_bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "forward"))
+        )
+
     def write_docs():
         # Per-document ledger, range-sorted by doc_id so membership
         # probes (incremental-append dup guard, stored-doc joins) prune
@@ -460,6 +537,8 @@ def build_index(
             stats_futs = [pool.submit(write_term_stats),
                           pool.submit(write_field_stats),
                           pool.submit(write_docs)]
+            if with_forward:
+                stats_futs.append(pool.submit(write_forward))
         for key, lo, hi, futs in slice_futs:
             for f in futs:
                 f.result()
@@ -597,6 +676,19 @@ def optimize_index(index: InvertedIndex) -> InvertedIndex:
     )
     staging["field_stats"] = fs_tmp
 
+    if os.path.isdir(os.path.join(index.path, "forward")):
+        f_tmp = os.path.join(index.path, "_forward.compact")
+        shutil.rmtree(f_tmp, ignore_errors=True)
+        (
+            index.forward()
+            .repartition("fwd_bucket")
+            .sortWithinPartitions("doc_id", "field", "frame_seq", "term")
+            .write.partitionBy("fwd_bucket")
+            .mode("overwrite")
+            .parquet(f_tmp)
+        )
+        staging["forward"] = f_tmp
+
     if os.path.isdir(os.path.join(index.path, "docs")):
         d_tmp = os.path.join(index.path, "_docs.compact")
         shutil.rmtree(d_tmp, ignore_errors=True)
@@ -685,6 +777,9 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     has_positions = os.path.isdir(os.path.join(index.path, "positions"))
     if has_positions:
         names.append("positions")
+    has_forward = os.path.isdir(os.path.join(index.path, "forward"))
+    if has_forward:
+        names.append("forward")
     staging = {}
     for name in names:
         staging[name] = os.path.join(index.path, f"_{name}.rewrite")
@@ -720,6 +815,17 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
             .repartition("term_bucket").sortWithinPartitions("term", "block")
             .write.partitionBy("term_bucket").mode("overwrite")
             .parquet(staging["positions"])
+        )
+    if has_forward:
+        (
+            forward_rows(
+                remaining.drop("term_bucket"),
+                manifest.get("fwd_buckets", num_buckets),
+            )
+            .repartition("fwd_bucket")
+            .sortWithinPartitions("doc_id", "field", "frame_seq", "term")
+            .write.partitionBy("fwd_bucket").mode("overwrite")
+            .parquet(staging["forward"])
         )
     (
         term_statistics(remaining.drop("term_bucket"))

@@ -5,12 +5,14 @@ from the document's own most characteristic terms — top ``max_terms``
 by tf·idf with a deterministic tie-break — then rank the corpus with
 the ordinary scorer, excluding the seed.
 
-Scale shape: seed extraction is one pruned aggregation over the seed
-document's postings joined to the per-term statistics (at 100 TB this
-read comes from the forward index / tf_vectors layout rather than a
-postings scan — the seed's term list is ~dl rows either way); the
+Scale shape: seed extraction is a bucket-pruned POINT READ of the
+doc-major ``forward/`` layout when the index carries one
+(``InvertedIndex.doc_forward`` — the reference's frame-clustered
+second posting copy, _sqlite_v0_10_0_schema.py:121-142), falling back
+to a term-major postings scan only for layouts without it
+(MemoryIndex).  The seed's term list is ~dl rows either way; the
 retrieval step is the engine's normal broadcast-join search.  Two jobs
-total per MLT call.
+total per MLT call, neither corpus-scale.
 """
 
 from __future__ import annotations
@@ -28,10 +30,14 @@ def mlt_seed_terms(
     """The seed document's top ``max_terms`` terms by tf·idf
     (idf = 1 + ln(N/(df+1)), the engine's tfidf weight), tie-broken by
     term asc — deterministic."""
+    if getattr(index, "has_forward", lambda: False)():
+        # doc-major point read: one fwd_bucket partition + doc-sorted
+        # row-group pruning — milliseconds at any corpus size
+        rows_src = index.doc_forward(doc_id)
+    else:
+        rows_src = index.postings().where(F.col("doc_id") == doc_id)
     doc_tf = (
-        index.postings()
-        .where(F.col("doc_id") == doc_id)
-        .groupBy("term")
+        rows_src.groupBy("term")
         .agg(F.sum("freq").alias("tf"))
         .where(F.col("tf") >= min_freq)
     )

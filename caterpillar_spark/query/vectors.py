@@ -46,6 +46,26 @@ def tf_vectors(postings: DataFrame, unit: str = "frame") -> DataFrame:
     )
 
 
+def tf_vectors_index(index, doc_ids=None, unit: str = "frame") -> DataFrame:
+    """:func:`tf_vectors` routed through the best layout the index has:
+    the doc-major ``forward/`` copy when present (per-document reads
+    prune to fwd_bucket partitions + doc-sorted row groups — no
+    term-major scan), else the raw postings.  ``doc_ids`` (optional)
+    restricts to those documents with driver-computed bucket pruning."""
+    has_fwd = getattr(index, "has_forward", lambda: False)()
+    src = index.forward() if has_fwd else index.postings()
+    if doc_ids is not None:
+        ids = [int(d) for d in doc_ids]
+        if has_fwd:
+            nb = index.manifest.get("fwd_buckets")
+            if nb:
+                src = src.where(
+                    F.col("fwd_bucket").isin(sorted({d % nb for d in ids}))
+                )
+        src = src.where(F.col("doc_id").isin(ids))
+    return tf_vectors(src, unit=unit)
+
+
 def vocabulary(postings: DataFrame) -> DataFrame:
     """Term dictionary with dense ids assigned frequency-descending
     (ties broken by term asc for determinism).  The reference gives hot

@@ -45,6 +45,7 @@ from caterpillar_spark.indexing.build import (
     _load_manifest,
     _save_manifest,
     field_statistics,
+    forward_rows,
     postings_with_bucket,
     term_statistics,
 )
@@ -95,6 +96,10 @@ def append_batch(
         "stats_done": True,
         "metrics": {},
         "batches": {},
+        # appends to a fresh path build the forward layout too (the
+        # build_index default); existing indexes keep their choice
+        "with_forward": True,
+        "fwd_buckets": num_buckets,
     }
     manifest.setdefault("batches", {})
     if batch_id is not None and str(batch_id) in manifest["batches"]:
@@ -206,6 +211,17 @@ def append_batch(
             .repartition("term_bucket").sortWithinPartitions("term", "block")
             .write.partitionBy("term_bucket").mode("append")
             .parquet(os.path.join(path, "positions"))
+        )
+    if manifest.get("with_forward"):
+        (
+            forward_rows(
+                posts.drop("term_bucket"),
+                manifest.get("fwd_buckets", num_buckets),
+            )
+            .repartition("fwd_bucket")
+            .sortWithinPartitions("doc_id", "field", "frame_seq", "term")
+            .write.partitionBy("fwd_bucket").mode("append")
+            .parquet(os.path.join(path, "forward"))
         )
     (
         term_statistics(posts.drop("term_bucket"))
