@@ -698,10 +698,13 @@ def q_windowed_events(spark, sf_dir):
 
 def q_significant_terms(spark, sf_dir):
     """Elasticsearch-style significant_terms: terms overrepresented in
-    the query's match set vs the corpus (lift score)."""
+    the query's match set vs the corpus (lift score).  Runs against the
+    PERSISTED index (r5): background document frequencies come from the
+    term_stats table + manifest n_docs — no full-postings background
+    aggregation (the only postings touch is the foreground semi-join)."""
     from caterpillar_spark.query.analytics import significant_terms
 
-    idx = _index_cached(sf_dir)
+    idx = _persisted_index_cached(sf_dir)
     return significant_terms(idx, k=K, min_fg_docs=2, should=TOPK_TERMS)
 
 
