@@ -313,6 +313,38 @@ def decode_position_row(row):
     return out
 
 
+def decode_position_row_filtered(row, keep_docs) -> list:
+    """Like :func:`decode_position_row`, but materializes position
+    arrays ONLY for frames whose doc_id is in ``keep_docs`` (a set of
+    signed int64 doc ids).  The varint stream is sequential so every
+    frame header is still walked, but dead frames skip the per-frame
+    cumsum/array allocation — the phrase kernel's hot-term pruning
+    path, where the doc intersection of the query terms is far smaller
+    than each term's own list ("the" ∧ "index").  Plain-int walk (no
+    numpy scalar churn) keeps the skip cost per dead frame to three
+    index reads."""
+    vals = decode_varints(row["data"])
+    n = row["n_frames"]
+    out = []
+    M = (1 << 64) - 1
+    u = int(row["first_doc"]) & M
+    i = 0
+    first = True
+    for _ in range(n):
+        gap = int(vals[i]) & M
+        i += 1
+        if not first:
+            u = (u + gap) & M
+        first = False
+        fseq = int(vals[i]); i += 1
+        npos = int(vals[i]); i += 1
+        doc = u - (1 << 64) if u >= (1 << 63) else u
+        if doc in keep_docs:
+            out.append((doc, fseq, np.cumsum(vals[i : i + npos])))
+        i += npos
+    return out
+
+
 def decode_block(row) -> pd.DataFrame:
     """One block row -> DataFrame(doc_id, tf, dl); test/debug helper and
     the single source of truth for the decode used by the WAND scorer."""

@@ -317,6 +317,15 @@ def ivf_train_centroids(
     )
     import numpy as np
 
+    if not rows:
+        raise ValueError(
+            "ivf_train_centroids: embeddings relation is empty — cannot "
+            "train a codebook"
+        )
+    # degrade gracefully to a smaller codebook when the sample is
+    # undersized (the r4 advisory: ivf_centroids already does; the
+    # trained variant crashed on C[j])
+    n_centroids = min(n_centroids, len(rows))
     X = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -35,30 +35,54 @@ def term_occurrences(
     ``(*keep, term, pos, char_offset[, snippet])``.
 
     ``pos`` is the 0-based whitespace-token index; ``char_offset`` the
-    0-based character offset of the token in the stored string (exact:
-    both are derived from the stored text, so a renderer can slice the
-    string directly).  Matching is case-insensitive equality on
-    whitespace tokens.  ``snippet_window=w`` adds the ±w-token context
-    string around each hit (row-local slice of the stored tokens — the
-    "keyword in context" a result page shows).
+    0-based character offset of the token in the stored string (exact
+    for ANY whitespace — newlines/tabs/runs split tokens like single
+    spaces do, and offsets are computed from the original pieces, so a
+    renderer can slice the stored string directly; the r4 advisory:
+    the single-space split missed terms adjacent to '\\n').  Matching
+    is case-insensitive equality on whitespace tokens.
+    ``snippet_window=w`` adds the ±w-token context string around each
+    hit, single-space joined (row-local slice of the stored tokens —
+    the "keyword in context" a result page shows).
     """
     terms = [t.lower() for t in terms]
-    toks = F.split(F.col(text_col), " ")
-    hits = F.filter(
+    # Split BEFORE each whitespace char: every piece is one optional
+    # leading whitespace char + a (possibly empty) non-ws run, so the
+    # original string is the exact concatenation of the pieces and
+    # offsets come from cumulative piece lengths — all JVM HOFs.
+    pieces = F.split(F.col(text_col), r"(?=\s)")
+    toks = F.filter(
         F.transform(
-            toks,
-            lambda x, i: F.struct(F.lower(x).alias("term"), i.alias("pos")),
+            pieces,
+            lambda x, i: F.struct(
+                F.regexp_replace(x, r"^\s+", "").alias("tok"),
+                i.alias("idx"),
+            ),
         ),
-        lambda s: s["term"].isin(terms),
+        lambda s: s["tok"] != "",
     )
-    out = df.select(*keep, toks.alias("_toks"), F.explode(hits).alias("_h"))
+    indexed = F.transform(
+        toks,
+        lambda s, i: F.struct(
+            s["tok"].alias("tok"), i.alias("pos"), s["idx"].alias("idx")
+        ),
+    )
+    hits = F.filter(indexed, lambda s: F.lower(s["tok"]).isin(terms))
+    out = df.select(
+        *keep,
+        pieces.alias("_pieces"),
+        F.transform(toks, lambda s: s["tok"]).alias("_toks"),
+        F.explode(hits).alias("_h"),
+    )
     pos = F.col("_h.pos")
-    char_offset = F.when(pos == 0, F.lit(0)).otherwise(
-        F.length(F.concat_ws(" ", F.slice(F.col("_toks"), 1, pos))) + 1
+    piece = F.element_at(F.col("_pieces"), F.col("_h.idx") + 1)
+    char_offset = (
+        F.length(F.concat_ws("", F.slice(F.col("_pieces"), 1, F.col("_h.idx"))))
+        + (F.length(piece) - F.length(F.col("_h.tok")))
     )
     cols = [
         *keep,
-        F.col("_h.term").alias("term"),
+        F.lower(F.col("_h.tok")).alias("term"),
         pos.alias("pos"),
         char_offset.cast("int").alias("char_offset"),
     ]

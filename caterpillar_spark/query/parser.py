@@ -91,7 +91,15 @@ def parse_query(q: str) -> QuerySpec:
             continue
         tok = raw
         fm = _FIELDED.match(tok)
-        if fm and not tok.endswith("~") and "*" not in tok:
+        if fm and (re.search(r"~[0-9]?$", tok) or tok.endswith("*")):
+            # 'title:foo~1' / 'title:foo*' — fielded fuzzy/prefix is not
+            # supported; erroring beats the silent misparses (metadata
+            # predicate title='foo~1' vs fuzzy term 'title:foo')
+            raise ValueError(
+                f"fielded fuzzy/prefix clause {tok!r} is not supported; "
+                "scope with include_fields= instead"
+            )
+        if fm and "*" not in tok:
             name, op, value = fm.group(1), fm.group(2) or "=", fm.group(3)
             if mod == "-":
                 raise ValueError(
@@ -148,8 +156,16 @@ def _resolve_all(
     """Resolve every Fuzzy/Prefix clause in ONE vocabulary-scan job
     (per-clause jobs would pay Spark's job-launch latency E times; the
     combined pass emits (clause_id, term) pairs in a single scan).
-    Caps and ordering are applied driver-side on the tiny result sets —
-    identical to :func:`caterpillar_spark.query.expand.fuzzy_terms` /
+
+    The per-clause ``max_expansions`` cap is applied INSIDE the scan —
+    a row_number window partitioned by clause id, ordered by the same
+    tie-break the driver-side sort uses (edit distance then term for
+    fuzzy, term for prefix) — so the collect is bounded by
+    E·max_expansions rows even when a broad clause ('s*') matches
+    millions of a web-scale vocabulary (the r4 advisory: the uncapped
+    collect was unbounded).  Final ordering of the capped sets is then
+    applied driver-side — identical results to
+    :func:`caterpillar_spark.query.expand.fuzzy_terms` /
     ``prefix_terms`` with the same ``max_expansions``."""
     from caterpillar_spark.query.expand import (
         _deletion_set_col,
@@ -178,6 +194,19 @@ def _resolve_all(
         else:
             cond = F.col("term").startswith(c.prefix)
         branches.append(F.when(cond, F.lit(cid)))
+    from pyspark.sql.window import Window
+
+    # per-clause order key matching the driver tie-break: edit distance
+    # for fuzzy clauses (term asc breaks ties via the window order),
+    # constant for prefix clauses
+    order_key = F.lit(0)
+    for cid, c in expansions:
+        if isinstance(c, Fuzzy):
+            order_key = F.when(
+                F.col("_cid") == cid,
+                F.levenshtein(F.col("term"), F.lit(c.term)),
+            ).otherwise(order_key)
+    w = Window.partitionBy("_cid").orderBy(F.asc("_order"), F.asc("term"))
     matched = (
         _vocab(index)
         .select(
@@ -186,6 +215,10 @@ def _resolve_all(
         )
         .where(F.size("_cids") > 0)
         .select(F.explode("_cids").alias("_cid"), "term")
+        .withColumn("_order", order_key)
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= max_expansions)
+        .select("_cid", "term")
         .collect()
     )
     by_cid: Dict[int, List[str]] = {}
@@ -299,11 +332,11 @@ def execute_query(
         )
 
     for ph in phrase_constraints:
-        pm = _phrase_units(index, ph, unit, phrase_engine)
-        scored = scored.join(pm, _phrase_keys(unit), "left_semi")
+        pm, pkeys = _phrase_units(index, ph, unit, phrase_engine)
+        scored = scored.join(pm, pkeys, "left_semi")
     for ph in spec.not_phrases:
-        pm = _phrase_units(index, ph, unit, phrase_engine)
-        scored = scored.join(pm, _phrase_keys(unit), "left_anti")
+        pm, pkeys = _phrase_units(index, ph, unit, phrase_engine)
+        scored = scored.join(pm, pkeys, "left_anti")
 
     return scored.orderBy(F.desc("score"), *keys).limit(k)
 
@@ -504,10 +537,19 @@ def execute_many(
     )
 
 
-def _phrase_keys(unit: str) -> List[str]:
-    # search_ngram's frame identity is (doc_id, frame_seq) — its own
-    # single-TEXT-field contract (query/analytics.py)
-    return ["doc_id"] if unit == "document" else ["doc_id", "frame_seq"]
+def _phrase_keys(unit: str, pm: Optional[DataFrame] = None) -> List[str]:
+    """Join keys for a phrase match relation.  The raw search_ngram
+    relation has no field column (its own single-TEXT-field contract,
+    query/analytics.py), so frame identity there is (doc_id,
+    frame_seq); the compressed kernel DOES carry field, and at
+    unit='frame' the join must use it — otherwise on a multi-field
+    index a frame in field A would be retained because the phrase
+    matched the same-numbered frame of field B (the r4 advisory)."""
+    if unit == "document":
+        return ["doc_id"]
+    if pm is not None and "field" in pm.columns:
+        return ["doc_id", "field", "frame_seq"]
+    return ["doc_id", "frame_seq"]
 
 
 def _phrase_matches(
@@ -549,9 +591,10 @@ def _phrase_matches(
 
 def _phrase_units(
     index, phrase: Sequence[str], unit: str, engine: str = "auto"
-) -> DataFrame:
+) -> Tuple[DataFrame, List[str]]:
     pm = _phrase_matches(index, phrase, engine)
-    return pm.select(*_phrase_keys(unit)).distinct()
+    keys = _phrase_keys(unit, pm)
+    return pm.select(*keys).distinct(), keys
 
 
 def _phrase_scores(
@@ -559,7 +602,10 @@ def _phrase_scores(
 ) -> DataFrame:
     """Phrase-only query: score = match count of the FIRST phrase
     (additional phrases keep constraining via the semi-joins in
-    :func:`execute_query`)."""
+    :func:`execute_query`).  Scoring is unit='document' only, and the
+    per-doc sum deliberately folds matches across ALL fields carrying
+    the phrase (documented contract: a title and a body occurrence
+    both count toward the document's phrase score)."""
     from caterpillar_spark.query.analytics import search_ngram
     from caterpillar_spark.query.engine import metadata_predicate
 

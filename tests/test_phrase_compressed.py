@@ -78,6 +78,50 @@ def test_trigram_and_multiframe(spark):
     assert 3 not in by_doc  # positions never cross a frame boundary
 
 
+@pytest.mark.parametrize("terms", [["spark", "join"], ["the", "table"]])
+def test_doc_intersection_pruning_parity(spark, corpus, terms):
+    """r5 hot-term pruning: passing doc_lists co-shuffles the doc-gap
+    lists, intersects per block, and decodes positions only for
+    surviving docs — results must be identical to the unpruned kernel
+    and the raw-postings engine."""
+    from caterpillar_spark.indexing.postinglists import build_posting_lists
+
+    pos = build_position_lists(corpus, num_buckets=8, block_bits=3)
+    lists = build_posting_lists(corpus, num_buckets=8, block_bits=3)
+    got = _norm_compressed(
+        search_ngram_compressed(
+            pos, terms, num_buckets=8, block_bits=3, doc_lists=lists
+        )
+    )
+    assert got == _norm_engine(search_ngram(corpus, terms))
+    assert got, f"vacuous parity: {terms} never adjacent in the corpus"
+
+
+def test_filtered_decode_matches_full(spark):
+    """decode_position_row_filtered(row, all-docs) == decode_position_row;
+    a restricted keep-set returns exactly those docs' frames."""
+    from caterpillar_spark.indexing.postinglists import (
+        decode_position_row_filtered,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    posts = frames_to_postings(build_frames(docs, frame_size=0))
+    rows = build_position_lists(posts, num_buckets=4, block_bits=2).collect()
+    for row in rows:
+        full = decode_position_row(row)
+        all_docs = {d for d, _, _ in full}
+        got = decode_position_row_filtered(row, all_docs)
+        assert [(d, f, list(p)) for d, f, p in got] == [
+            (d, f, list(p)) for d, f, p in full
+        ]
+        keep = {sorted(all_docs)[0]}
+        sub = decode_position_row_filtered(row, keep)
+        assert {d for d, _, _ in sub} == (keep & all_docs)
+
+
 def test_position_codec_roundtrip(spark):
     docs = spark.createDataFrame(
         [(i, "alpha beta gamma alpha beta " * (1 + i % 3)) for i in range(40)],
