@@ -303,6 +303,30 @@ def build_index(
     with_positions: bool = False,
     with_forward: bool = True,
 ) -> InvertedIndex:
+    """Build (or resume building) the inverted index at ``path``,
+    serialized against other writers by the index write lock
+    (indexing/lock.py — the reference's PID-lock analog,
+    locking.py:50-195)."""
+    from caterpillar_spark.indexing.lock import write_lock
+
+    with write_lock(path):
+        return _build_index_locked(
+            frames, path, num_buckets, checkpoint_groups, resume,
+            block_bits, source, with_positions, with_forward,
+        )
+
+
+def _build_index_locked(
+    frames: DataFrame,
+    path: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+    checkpoint_groups: int = 1,
+    resume: bool = True,
+    block_bits: int = 4,
+    source: Optional[str] = None,
+    with_positions: bool = False,
+    with_forward: bool = True,
+) -> InvertedIndex:
     """Build (or resume building) the inverted index at ``path``.
 
     ``checkpoint_groups`` > 1 splits the term-bucket space into that many
@@ -579,6 +603,13 @@ def add_attributes(index: InvertedIndex, attributes: DataFrame) -> InvertedIndex
     dynamic typing; a columnar layout needs one type — numeric
     attributes compare through a cast at query time).
     """
+    from caterpillar_spark.indexing.lock import write_lock
+
+    with write_lock(index.path):
+        return _add_attributes_locked(index, attributes)
+
+
+def _add_attributes_locked(index: InvertedIndex, attributes: DataFrame) -> InvertedIndex:
     path = os.path.join(index.path, "attributes")
     df = (
         attributes.select(
@@ -616,7 +647,14 @@ def optimize_index(index: InvertedIndex) -> InvertedIndex:
     statistics rows (streaming appends) into one row per key.  Staged
     rewrite + gap-free rename swap (:func:`_swap_dir` — per-table
     rename pairs, not one atomic multi-table commit), revision
-    bumped."""
+    bumped.  Writer-locked."""
+    from caterpillar_spark.indexing.lock import write_lock
+
+    with write_lock(index.path):
+        return _optimize_index_locked(index)
+
+
+def _optimize_index_locked(index: InvertedIndex) -> InvertedIndex:
     import shutil
 
     spark = index.spark
@@ -738,8 +776,15 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     this would be a row-level MERGE DELETE; on plain parquet it is a
     staged rewrite + gap-free rename swap.  A document's terms hash into every
     bucket, so all partitions are rewritten (deletes are rare,
-    whole-index maintenance events at this layer).
+    whole-index maintenance events at this layer).  Writer-locked.
     """
+    from caterpillar_spark.indexing.lock import write_lock
+
+    with write_lock(index.path):
+        return _delete_documents_locked(index, doc_ids)
+
+
+def _delete_documents_locked(index: InvertedIndex, doc_ids) -> InvertedIndex:
     import shutil
 
     from caterpillar_spark.indexing.postinglists import build_posting_lists

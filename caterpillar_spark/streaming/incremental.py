@@ -80,13 +80,34 @@ def append_batch(
     The probe is one columnar scan of the single-column doc ledger with
     the (small) batch id set broadcast into the semi-join — at 10^9
     docs that is one bigint column read, amortizable by batching.
+
+    Concurrent callers on one index path SERIALIZE on the index write
+    lock (indexing/lock.py): the manifest is read inside the lock, so
+    a second writer sees the first one's revision/ledger rather than
+    racing it (the reference's PID-lock contract, locking.py:50-195).
     """
+    if on_existing not in ("skip", "error", "allow"):
+        raise ValueError(f"on_existing must be skip|error|allow, got {on_existing!r}")
+    from caterpillar_spark.indexing.lock import write_lock
+
+    with write_lock(path):
+        return _append_batch_locked(
+            frames, path, num_buckets, block_bits, batch_id, on_existing
+        )
+
+
+def _append_batch_locked(
+    frames: DataFrame,
+    path: str,
+    num_buckets: int,
+    block_bits: int,
+    batch_id: Optional[int],
+    on_existing: str,
+) -> InvertedIndex:
     from caterpillar_spark.indexing.postinglists import build_posting_lists
 
     spark = frames.sparkSession
     docs_path = os.path.join(path, "docs")
-    if on_existing not in ("skip", "error", "allow"):
-        raise ValueError(f"on_existing must be skip|error|allow, got {on_existing!r}")
     manifest = _load_manifest(path) or {
         "revision": 0,
         "num_buckets": num_buckets,
@@ -300,7 +321,15 @@ def start_incremental_index(
 
 def compact_statistics(index: InvertedIndex) -> None:
     """Fold appended partial statistics rows into one row per key (the
-    reference's flush-time merge, _sqlite_scripts.py:305-341)."""
+    reference's flush-time merge, _sqlite_scripts.py:305-341).
+    Writer-locked."""
+    from caterpillar_spark.indexing.lock import write_lock
+
+    with write_lock(index.path):
+        return _compact_statistics_locked(index)
+
+
+def _compact_statistics_locked(index: InvertedIndex) -> None:
     import shutil
 
     spark = index.spark
