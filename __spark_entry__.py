@@ -314,6 +314,52 @@ def q_more_like_this(spark, sf_dir):
     return _rounded(more_like_this(idx, MLT_SEED, max_terms=5, k=K))
 
 
+def q_bm25f_topk(spark, sf_dir):
+    """BM25F proper (Robertson/Zaragoza) over a TWO-field corpus: a
+    derived title field (the document's first 3 tokens) boosted 2x
+    against the body.  The weighted tf sum Σ_field w_f·tf_f feeds the
+    saturation (scorer='bm25_doc' + field_boosts), doc-level df/avgdl
+    over both fields — the saturation path test_field_boosts pins by
+    formula now gets an independent SQL oracle (r4 verdict item #6)."""
+    from caterpillar_spark.framing import build_frames
+    from caterpillar_spark.query import MemoryIndex, search
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias(
+            "title"
+        ),
+        "text",
+    )
+    idx = MemoryIndex(
+        build_frames(docs, text_cols=["title", "text"], frame_size=2)
+    )
+    return _rounded(
+        search(
+            idx, k=K, unit="document", should=TOPK_TERMS,
+            scorer="bm25_doc", field_boosts={"title": 2.0},
+        )
+    )
+
+
+def q_case_fold_terms(spark, sf_dir):
+    """Case-variant merge suggestions (reference get_case_fold_terms,
+    index.py:1009-1039): every fifth document is deterministically
+    uppercased, so 'spark'/'SPARK' style variant pairs exist; variants
+    under 0.7x the dominant casing's frame frequency fold into it."""
+    from caterpillar_spark.framing import build_frames, frames_to_postings
+    from caterpillar_spark.query.analytics import case_fold_terms
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    frames = build_frames(docs, text_cols=["text"], frame_size=2)
+    return case_fold_terms(frames_to_postings(frames), ratio=0.7)
+
+
 def q_query_string_topk(spark, sf_dir):
     """Lucene-style query string exercising the full clause surface in
     one query: required term, fuzzy clause (tabl~1 -> table), prefix
@@ -768,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
         "bm25_doc_topk": q_bm25_doc_topk,
+        "bm25f_topk": q_bm25f_topk,
+        "case_fold_terms": q_case_fold_terms,
         "wand_bm25_topk": q_wand_bm25_topk,
         "bm25_batch_topk": q_bm25_batch_topk,
         "posting_list_stats": q_posting_list_stats,
@@ -984,6 +1032,78 @@ SELECT doc_id, score FROM (
     WHERE t.term IN ({topk})
     GROUP BY t.doc_id
 ) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        # BM25F: title = the doc's first 3 tokens, boosted 2x; weighted
+        # tf Σ_field w_f·tf_f feeds the saturation; df = distinct docs
+        # containing the term in EITHER field; dl/avgdl over both fields.
+        "bm25f_topk": f"""
+WITH tok2 AS (
+    SELECT doc_id, unnest(list_slice(str_split(text, ' '), 1, 3)) AS term,
+           2.0 AS w
+    FROM documents
+    UNION ALL
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term, 1.0 AS w
+    FROM documents
+),
+wtf AS (
+    SELECT doc_id, term, sum(w) AS tf
+    FROM tok2 GROUP BY doc_id, term
+),
+df2 AS (
+    SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok2 GROUP BY term
+),
+dl2 AS (
+    SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id
+),
+consts2 AS (
+    SELECT count(*)::DOUBLE AS n, (SELECT avg(dl) FROM dl2) AS avgdl
+    FROM documents
+)
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(
+               ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+           ), 6) AS score
+    FROM wtf t
+    JOIN df2 s ON t.term = s.term
+    JOIN dl2 d ON t.doc_id = d.doc_id
+    CROSS JOIN consts2 c
+    WHERE t.term IN ({topk})
+    GROUP BY t.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
+""",
+        # case folding: docs with doc_id%5=0 are uppercased, so casing
+        # variants exist; ff = frames containing the term (single-frame
+        # corpus -> distinct docs); dominant casing = max (ff, term)
+        # struct, variants below 0.7x its ff fold into it.
+        "case_fold_terms": """
+WITH src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+    FROM documents
+),
+ctok AS (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM src
+),
+cff AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS ff
+    FROM ctok GROUP BY term
+),
+ranked AS (
+    SELECT term, ff, lower(term) AS folded,
+           first_value(term) OVER w AS dom_term,
+           first_value(ff) OVER w AS dom_ff,
+           count(*) OVER (PARTITION BY lower(term)) AS variants
+    FROM cff
+    WINDOW w AS (PARTITION BY lower(term) ORDER BY ff DESC, term DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT term AS variant, ff AS variant_ff, dom_term AS fold_to,
+       dom_ff AS dominant_ff
+FROM ranked
+WHERE variants > 1 AND term <> dom_term AND ff < 0.7 * dom_ff
 """,
         # WAND over the compressed block-max index is *exact* top-k, so
         # it shares the plain BM25 oracle (single-frame corpus: doc-level
