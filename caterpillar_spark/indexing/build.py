@@ -639,6 +639,47 @@ def _add_attributes_locked(index: InvertedIndex, attributes: DataFrame) -> Inver
     return InvertedIndex(index.spark, index.path)
 
 
+def build_forward(
+    index: InvertedIndex, fwd_buckets: Optional[int] = None
+) -> InvertedIndex:
+    """Backfill the doc-major ``forward/`` layout onto an existing
+    index that was built before (or without) it — one full postings
+    column scan, staged write + gap-free swap, revision bumped.  The
+    migration path for pre-r5 indexes; no-op when already present.
+    Writer-locked."""
+    from caterpillar_spark.indexing.lock import write_lock
+
+    with write_lock(index.path):
+        if index.has_forward():
+            return index
+        import shutil
+
+        spark = index.spark
+        manifest = index.manifest
+        nb = int(
+            fwd_buckets
+            or manifest.get("fwd_buckets")
+            or manifest["num_buckets"]
+        )
+        tmp = os.path.join(index.path, "_forward.backfill")
+        shutil.rmtree(tmp, ignore_errors=True)
+        wp = max(spark.sparkContext.defaultParallelism * 2, 2)
+        (
+            forward_rows(index.postings(), nb)
+            .repartition(wp, "doc_id")
+            .sortWithinPartitions("fwd_bucket", "doc_id", "field", "frame_seq", "term")
+            .write.partitionBy("fwd_bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        _swap_dir(os.path.join(index.path, "forward"), tmp)
+        manifest["with_forward"] = True
+        manifest["fwd_buckets"] = nb
+        manifest["revision"] = manifest.get("revision", 0) + 1
+        _save_manifest(index.path, manifest)
+        return InvertedIndex(spark, index.path)
+
+
 def optimize_index(index: InvertedIndex) -> InvertedIndex:
     """Compact the index: rewrite each layout with one sorted file per
     term bucket (incremental appends and many-slice builds leave many

@@ -30,6 +30,8 @@ def mlt_seed_terms(
     """The seed document's top ``max_terms`` terms by tf·idf
     (idf = 1 + ln(N/(df+1)), the engine's tfidf weight), tie-broken by
     term asc — deterministic."""
+    from caterpillar_spark.query.engine import _handle_cache
+
     if getattr(index, "has_forward", lambda: False)():
         # doc-major point read: one fwd_bucket partition + doc-sorted
         # row-group pruning — milliseconds at any corpus size
@@ -49,7 +51,14 @@ def mlt_seed_terms(
         .groupBy("term")
         .agg(F.sum("frames_occuring").alias("frames_occuring"))
     )
-    n = index.field_stats().agg(F.sum("frame_count")).first()[0] or 0
+    # corpus frame count: an index-revision invariant — memoize on the
+    # epoch-keyed handle cache so a warm MLT call runs ONE seed job
+    # (the join+topk collect below), not two
+    cache = _handle_cache(index, "_mlt_cache")
+    n = cache.get("n_frames")
+    if n is None:
+        n = index.field_stats().agg(F.sum("frame_count")).first()[0] or 0
+        cache["n_frames"] = n
     rows = (
         doc_tf.join(stats, "term")
         .select(
@@ -73,16 +82,35 @@ def more_like_this(
     k: int = 10,
     unit: str = "document",
     scorer: str = "tfidf",
+    engine: str = "dataframe",
     **engine_kw,
 ) -> DataFrame:
     """Ranked top-``k`` documents most similar to ``doc_id``
     (``(doc_id[, field, frame_seq], score)``; the seed document is
-    excluded)."""
-    from caterpillar_spark.query.engine import filter_frames
+    excluded).
 
+    ``engine='wand'`` runs the retrieval step over the block-max WAND
+    kernel (compressed lists, BM25 document scoring — the serving-speed
+    path; requires a persisted index and implies unit='document'):
+    a warm 2M-doc MLT call is then one seed point-read job + one WAND
+    job.  ``'dataframe'`` (default) scores through
+    :func:`filter_frames` with any scorer."""
     terms = mlt_seed_terms(index, doc_id, max_terms)
     if not terms:
         raise ValueError(f"document {doc_id} has no indexed terms")
+    if engine == "wand":
+        if unit != "document":
+            raise ValueError("engine='wand' scores at unit='document'")
+        from caterpillar_spark.query.wand import wand_topk
+
+        res = wand_topk(index.compressed(), terms, k=k + 1, mode="or")
+        return (
+            res.where(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    from caterpillar_spark.query.engine import filter_frames
+
     keys = ["doc_id"] if unit == "document" else ["doc_id", "field", "frame_seq"]
     scored = filter_frames(
         index, should=terms, unit=unit, scorer=scorer, **engine_kw

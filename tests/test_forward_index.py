@@ -107,6 +107,23 @@ def test_tf_vectors_index_uses_forward_and_matches(built):
     assert [r["doc_id"] for r in only95] == [95]
 
 
+def test_mlt_wand_engine_parity(built):
+    """engine='wand' retrieval (compressed lists, BM25 doc scoring) is
+    rank- and score-identical to the DataFrame bm25_doc path."""
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in more_like_this(built, 1, max_terms=3, k=5, engine="wand").collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in more_like_this(
+            built, 1, max_terms=3, k=5, scorer="bm25_doc", unit="document"
+        ).collect()
+    ]
+    assert got == want and got
+    assert all(d != 1 for d, _ in got)
+
+
 def test_forward_survives_append_delete_optimize(spark, corpus):
     from caterpillar_spark.indexing.build import delete_documents, optimize_index
     from caterpillar_spark.streaming.incremental import append_batch
@@ -145,7 +162,9 @@ def test_forward_survives_append_delete_optimize(spark, corpus):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def test_build_without_forward_falls_back(spark, corpus):
+def test_build_without_forward_falls_back_then_backfills(spark, corpus):
+    from caterpillar_spark.indexing.build import build_forward
+
     root = tempfile.mkdtemp(prefix="catspark_nofwd_")
     try:
         idx = build_index(corpus, f"{root}/idx", num_buckets=4, with_forward=False)
@@ -153,5 +172,16 @@ def test_build_without_forward_falls_back(spark, corpus):
         # postings-scan fallback still serves MLT (rare df=2 wins; gem
         # and common tie at df=3 -> term-asc tie-break picks common)
         assert mlt_seed_terms(idx, 1, max_terms=2) == ["rare", "common"]
+        # legacy-index migration: backfill, then the point-read path
+        rev = idx.manifest["revision"]
+        idx = build_forward(idx)
+        assert idx.has_forward() and idx.manifest["revision"] == rev + 1
+        assert _fwd_truth(idx) == {
+            (r["doc_id"], r["field"], r["frame_seq"], r["term"], r["freq"])
+            for r in idx.forward().collect()
+        }
+        assert mlt_seed_terms(idx, 1, max_terms=2) == ["rare", "common"]
+        # idempotent no-op on re-run
+        assert build_forward(idx).manifest["revision"] == rev + 1
     finally:
         shutil.rmtree(root, ignore_errors=True)
