@@ -685,6 +685,71 @@ def q_near_dup_clusters(spark, sf_dir):
     return near_dup_clusters(lsh_candidates(sigs, num_hashes=16, bands=4))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (r5): flag documents sharing any
+    distinct word 4-shingle with the stand-in benchmark set (docs
+    0-9).  Benchmark shingles are distinct-ed and broadcast — the
+    corpus pays one narrow explode + broadcast join + one agg."""
+    from caterpillar_spark.ops import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < 10).select("text")
+    return decontaminate(docs, bench, shingle_n=4, min_hits=1)
+
+
+def q_survivor_selection(spark, sf_dir):
+    """Quality-aware dedup survivor selection (r5): the survivor of
+    each near-dup cluster is the member with the highest quality score
+    (here: n_chars — the scorer column is pluggable), not the min id.
+    Singletons survive themselves.  One struct-max aggregation keyed by
+    cluster_id + one join back — no window shuffle."""
+    from caterpillar_spark.ops import (
+        lsh_candidates,
+        minhash_signatures,
+        near_dup_clusters,
+        select_survivors,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3)
+    clusters = near_dup_clusters(lsh_candidates(sigs, num_hashes=16, bands=4))
+    return select_survivors(docs, clusters, quality_col="n_chars")
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Greedy token-budget corpus cut (r5): keep the highest-priority
+    documents whose running token total stays <= 8000.  Global greedy
+    order via range-partition + driver prefix-sum of per-partition
+    token sums (no single-task global window); partitions past the
+    budget are dropped before their window runs."""
+    from caterpillar_spark.ops import token_budget_sample
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    picked = token_budget_sample(
+        docs, budget=8000, token_col="n_tokens", priority_col="n_chars"
+    )
+    return picked.select("doc_id", "n_tokens", "cum_tokens")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source mixture sampling (r5): keep iff
+    md5(seed:source:id) mod 10^6 < rate(source)*10^6 — reproducible
+    across runs/backfills, nested under rate increases, zero shuffles
+    (narrow filter over the scan)."""
+    from caterpillar_spark.ops import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    picked = stratified_sample(
+        docs,
+        rates={"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        default_rate=0.1,
+        seed=7,
+    )
+    return picked.select("doc_id", "source", "sample_bucket")
+
+
 def q_topk_stored_docs(spark, sf_dir):
     """BM25 top-k through the PERSISTED index (term-bucket partition
     pruning) joined back to the stored source documents via the
@@ -856,6 +921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_capped": q_minhash_lsh_capped,
         "near_dup_clusters": q_near_dup_clusters,
+        "decontaminate": q_decontaminate,
+        "survivor_selection": q_survivor_selection,
+        "token_budget_sample": q_token_budget_sample,
+        "stratified_sample": q_stratified_sample,
         "topk_stored_docs": q_topk_stored_docs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1655,6 +1724,97 @@ reach (u, v) AS (
     SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
 )
 SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+""",
+        # Benchmark decontamination: distinct 4-shingle overlap with
+        # the doc 0-9 stand-in benchmark set.
+        "decontaminate": f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+b AS (
+    SELECT DISTINCT unnest({_shingle_array_expr(4)}) AS shingle
+    FROM t WHERE doc_id < 10
+),
+s AS (SELECT doc_id, unnest({_shingle_array_expr(4)}) AS shingle FROM t),
+h AS (
+    SELECT s.doc_id, count(*)::BIGINT AS contam_hits
+    FROM s JOIN b ON s.shingle = b.shingle GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.contam_hits, 0)::BIGINT AS contam_hits,
+       coalesce(h.contam_hits, 0) >= 1 AS is_contaminated
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+""",
+        # Quality-aware survivor: same md5-reproduced clusters, argmax
+        # quality (tie min id) per cluster via a ranked window.
+        "survivor_selection": f"""
+WITH RECURSIVE {_minhash_cands_ctes(3)},
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM cand
+    UNION
+    SELECT id_b AS u, id_a AS v FROM cand
+),
+reach (u, v) AS (
+    SELECT u, u AS v FROM edges
+    UNION
+    SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+),
+cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+m AS (
+    SELECT d.doc_id, d.n_chars AS q,
+           coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+),
+best AS (
+    SELECT cluster_id, doc_id AS survivor_id FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC
+               ) AS rn
+        FROM m
+    ) WHERE rn = 1
+),
+sz AS (
+    SELECT cluster_id, count(*)::BIGINT AS cluster_size
+    FROM m GROUP BY cluster_id
+)
+SELECT m.doc_id, m.cluster_id, best.survivor_id, sz.cluster_size,
+       m.doc_id <> best.survivor_id AS is_dup
+FROM m
+JOIN best ON m.cluster_id = best.cluster_id
+JOIN sz ON m.cluster_id = sz.cluster_id
+""",
+        # Greedy token-budget cut: global running sum in priority order
+        # (the Spark side computes the same order with a distributed
+        # range-partition prefix-sum — no single-task window).
+        "token_budget_sample": """
+WITH t AS (
+    SELECT doc_id, n_chars,
+           len(str_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           (SUM(n_tokens) OVER (
+               ORDER BY n_chars DESC, doc_id ASC
+           ))::BIGINT AS cum_tokens
+    FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 8000
+""",
+        # Deterministic mixture sampling: the md5 bucket reproduces the
+        # engine's hash bit-for-bit.
+        "stratified_sample": """
+SELECT doc_id, source, sample_bucket FROM (
+    SELECT doc_id, source,
+           ('0x' || substr(
+               md5('7' || ':' || source || ':' || doc_id::VARCHAR), 1, 15
+           ))::BIGINT % 1000000 AS sample_bucket
+    FROM documents
+)
+WHERE sample_bucket < CASE source
+    WHEN 'src1' THEN 1000000
+    WHEN 'src2' THEN 500000
+    WHEN 'src3' THEN 250000
+    ELSE 100000 END
 """,
         "topk_stored_docs": f"""
 WITH {_TOK},

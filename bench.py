@@ -256,6 +256,17 @@ def main() -> None:
         4,
     )
 
+    from caterpillar_spark.ops import decontaminate
+
+    bench_docs = docs.where(F.col("doc_id") < 10).select("text")
+    queries["decontaminate"] = round(
+        bench_query(
+            lambda: run(decontaminate(docs, bench_docs, shingle_n=4)),
+            warmups=0, reps=2,
+        ),
+        4,
+    )
+
     from caterpillar_spark.ops import embedding_lsh_candidates, embedding_near_dups
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()

@@ -108,6 +108,30 @@ def field_statistics(frames: DataFrame) -> DataFrame:
     )
 
 
+def doc_field_stats(frames: DataFrame) -> DataFrame:
+    """Per-(doc_id, field) frame/token counts — the ``doc_fields``
+    ledger rows.  Derived from frames (not postings), so frames whose
+    tokens were all stop-marked are counted."""
+    return frames.groupBy("doc_id", "field").agg(
+        F.count(F.lit(1)).cast("long").alias("frame_count"),
+        F.sum("frame_tokens").cast("long").alias("token_count"),
+    )
+
+
+def field_statistics_from_ledger(doc_fields: DataFrame) -> DataFrame:
+    """Exact field statistics from the doc_fields ledger (one row per
+    (doc, field)) — the delete-path rebuild that preserves all-stopped
+    frames."""
+    return doc_fields.groupBy("field").agg(
+        F.sum("frame_count").alias("frame_count"),
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("token_count").alias("token_count"),
+        (F.sum("token_count") / F.sum("frame_count")).alias(
+            "avg_frame_tokens"
+        ),
+    )
+
+
 @dataclass
 class InvertedIndex:
     """Handle over a written index root; lazily loads its tables."""
@@ -162,6 +186,18 @@ class InvertedIndex:
         """Per-document ledger (doc_id, dl) — doc_id-sorted parquet, the
         membership/length table incremental appends guard against."""
         return self.spark.read.parquet(self._table("docs"))
+
+    def has_doc_fields(self) -> bool:
+        return os.path.isdir(os.path.join(self.path, "doc_fields")) or (
+            os.path.isdir(os.path.join(self.path, "doc_fields.old"))
+        )
+
+    def doc_fields(self) -> DataFrame:
+        """Per-(doc_id, field) ledger: (doc_id, field, frame_count,
+        token_count).  Carries frames whose tokens were ALL stop-marked
+        (they have no postings), so field statistics survive deletes
+        exactly — closing the documented pseudo-frame deviation (r5)."""
+        return self.spark.read.parquet(self._table("doc_fields"))
 
     def doc_lens(self) -> DataFrame:
         """(doc_id, dl) for document-level scoring — the docs ledger."""
@@ -403,6 +439,8 @@ def _build_index_locked(
     if with_forward:
         manifest["with_forward"] = True
         manifest.setdefault("fwd_buckets", num_buckets)
+    if not manifest.get("stats_done"):
+        manifest["with_doc_fields"] = True
 
     # The build reads the frames relation several times (corpus
     # constants, doc lengths, both posting layouts per slice, field
@@ -535,6 +573,20 @@ def _build_index_locked(
             .parquet(os.path.join(path, "docs"))
         )
 
+    def write_doc_fields():
+        # Per-(doc, field) frame/token ledger from the FRAMES relation
+        # (includes frames with no postings — all tokens stop-marked),
+        # so deletes can rebuild field statistics exactly.
+        (
+            doc_field_stats(frames)
+            .repartitionByRange(
+                max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
+            )
+            .sortWithinPartitions("doc_id", "field")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "doc_fields"))
+        )
+
     # All outputs derive from the same persisted frames and land in
     # different directories, so they run as concurrent Spark jobs — one
     # job's task tail fills another's scheduler gap.  Checkpoint
@@ -560,7 +612,8 @@ def _build_index_locked(
         if not manifest.get("stats_done"):
             stats_futs = [pool.submit(write_term_stats),
                           pool.submit(write_field_stats),
-                          pool.submit(write_docs)]
+                          pool.submit(write_docs),
+                          pool.submit(write_doc_fields)]
             if with_forward:
                 stats_futs.append(pool.submit(write_forward))
         for key, lo, hi, futs in slice_futs:
@@ -782,6 +835,20 @@ def _optimize_index_locked(index: InvertedIndex) -> InvertedIndex:
         )
         staging["docs"] = d_tmp
 
+    if os.path.isdir(os.path.join(index.path, "doc_fields")):
+        df_tmp = os.path.join(index.path, "_doc_fields.compact")
+        shutil.rmtree(df_tmp, ignore_errors=True)
+        (
+            index.doc_fields()
+            .repartitionByRange(
+                max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
+            )
+            .sortWithinPartitions("doc_id", "field")
+            .write.mode("overwrite")
+            .parquet(df_tmp)
+        )
+        staging["doc_fields"] = df_tmp
+
     if os.path.isdir(os.path.join(index.path, "attributes")):
         a_tmp = os.path.join(index.path, "_attributes.compact")
         shutil.rmtree(a_tmp, ignore_errors=True)
@@ -818,6 +885,12 @@ def delete_documents(index: InvertedIndex, doc_ids) -> InvertedIndex:
     staged rewrite + gap-free rename swap.  A document's terms hash into every
     bucket, so all partitions are rewritten (deletes are rare,
     whole-index maintenance events at this layer).  Writer-locked.
+
+    Field statistics after a delete rebuild from the ``doc_fields``
+    ledger when the index has one (exact — frames whose tokens were
+    ALL stop-marked are preserved; this closed the r2-r4 documented
+    pseudo-frame deviation); legacy indexes without the ledger keep
+    the pseudo-frame reconstruction and its deviation.
     """
     from caterpillar_spark.indexing.lock import write_lock
 
@@ -866,6 +939,9 @@ def _delete_documents_locked(index: InvertedIndex, doc_ids) -> InvertedIndex:
     has_forward = os.path.isdir(os.path.join(index.path, "forward"))
     if has_forward:
         names.append("forward")
+    has_ledger = index.has_doc_fields()
+    if has_ledger:
+        names.append("doc_fields")
     staging = {}
     for name in names:
         staging[name] = os.path.join(index.path, f"_{name}.rewrite")
@@ -923,9 +999,25 @@ def _delete_documents_locked(index: InvertedIndex, doc_ids) -> InvertedIndex:
         .write.partitionBy("term_bucket").mode("overwrite")
         .parquet(staging["term_stats"])
     )
-    field_statistics(pseudo_frames).coalesce(1).write.mode("overwrite").parquet(
-        staging["field_stats"]
-    )
+    if has_ledger:
+        surviving_ledger = index.doc_fields().join(
+            F.broadcast(ids_df), "doc_id", "left_anti"
+        )
+        field_statistics_from_ledger(surviving_ledger).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging["field_stats"])
+        (
+            surviving_ledger.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
+            )
+            .sortWithinPartitions("doc_id", "field")
+            .write.mode("overwrite")
+            .parquet(staging["doc_fields"])
+        )
+    else:
+        field_statistics(pseudo_frames).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging["field_stats"])
     (
         doc_lens.repartitionByRange(
             max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"

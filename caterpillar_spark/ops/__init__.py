@@ -34,6 +34,12 @@ from caterpillar_spark.ops.dedup import (
     near_dup_clusters,
     simhash,
     ngram_jaccard_pairs,
+    decontaminate,
+)
+from caterpillar_spark.ops.sampling import (
+    select_survivors,
+    token_budget_sample,
+    stratified_sample,
 )
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
@@ -60,6 +66,10 @@ __all__ = [
     "near_dup_clusters",
     "simhash",
     "ngram_jaccard_pairs",
+    "decontaminate",
+    "select_survivors",
+    "token_budget_sample",
+    "stratified_sample",
     "cosine_topk",
     "embedding_lsh_candidates",
     "embedding_near_dups",

@@ -492,3 +492,56 @@ def ngram_jaccard_pairs(
         )
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination flags: a document is contaminated when
+    it shares at least ``min_hits`` distinct word ``shingle_n``-gram
+    shingles with ANY text in ``benchmark`` (the standard train/eval
+    overlap guard for LLM corpora — n-gram collision against held-out
+    benchmarks, n≈8-13 in published pipelines).
+
+    Returns one row per document in ``docs``:
+    ``(id, contam_hits, is_contaminated)`` where ``contam_hits`` counts
+    the document's distinct shingles that appear anywhere in the
+    benchmark set.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (benchmarks are MBs against TBs), so it is distinct-ed and
+    **broadcast**; the corpus side is one narrow shingle explode, a
+    broadcast hash join (no shuffle of corpus data), and one
+    groupBy(id) partial aggregation.  A 100 TB corpus pays a single
+    pass.  If the benchmark outgrows broadcast (~GBs), drop the
+    explicit ``broadcast()`` hint and Spark falls back to a shuffle
+    join on the shingle key — same semantics.
+    """
+    sh = shingles_col(text_col, shingle_n)
+    bench_sh = benchmark.select(
+        F.explode(sh).alias("shingle")
+    ).distinct()
+    doc_sh = docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("contam_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("contam_hits", F.lit(0)).cast("long").alias(
+                "contam_hits"
+            ),
+            (
+                F.coalesce("contam_hits", F.lit(0)) >= F.lit(min_hits)
+            ).alias("is_contaminated"),
+        )
+    )

@@ -44,6 +44,7 @@ from caterpillar_spark.indexing.build import (
     InvertedIndex,
     _load_manifest,
     _save_manifest,
+    doc_field_stats,
     field_statistics,
     forward_rows,
     postings_with_bucket,
@@ -117,10 +118,12 @@ def _append_batch_locked(
         "stats_done": True,
         "metrics": {},
         "batches": {},
-        # appends to a fresh path build the forward layout too (the
-        # build_index default); existing indexes keep their choice
+        # appends to a fresh path build the forward layout and the
+        # doc_fields ledger too (the build_index defaults); existing
+        # indexes keep their choice
         "with_forward": True,
         "fwd_buckets": num_buckets,
+        "with_doc_fields": True,
     }
     manifest.setdefault("batches", {})
     if batch_id is not None and str(batch_id) in manifest["batches"]:
@@ -265,6 +268,19 @@ def _append_batch_locked(
         .write.mode("append")
         .parquet(docs_path)
     )
+    if manifest.get("with_doc_fields"):
+        # per-(doc, field) ledger append — NOT written on legacy
+        # indexes without the flag (a partial ledger would undercount
+        # field statistics on the delete path)
+        (
+            doc_field_stats(frames)
+            .repartitionByRange(
+                max(spark.sparkContext.defaultParallelism // 4, 1), "doc_id"
+            )
+            .sortWithinPartitions("doc_id", "field")
+            .write.mode("append")
+            .parquet(os.path.join(path, "doc_fields"))
+        )
     frames.unpersist()
 
     manifest["n_docs"] += batch_docs

@@ -318,3 +318,68 @@ def test_persisted_attributes(spark, frames, tmp_path):
         {"length_class": {"=": "long"}, "sentiment": {"=": "pos"}},
     )
     assert both.count() == stored.where(F.col("doc_id") % 2 == 0).count()
+
+
+def test_delete_preserves_all_stopped_frames(spark, tmp_path):
+    """r5: field statistics after a delete rebuild from the doc_fields
+    ledger, so a frame whose tokens were ALL stop-marked (no postings)
+    keeps contributing its frame/token counts — the r2-r4 documented
+    pseudo-frame deviation is closed on ledger-carrying indexes."""
+    from caterpillar_spark.analysis.analyser import DefaultAnalyser
+    from caterpillar_spark.indexing.build import build_index, delete_documents
+
+    docs2 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma. xx yy."),     # frame 1 all-stopped
+            (2, "delta alpha words here."),
+            (3, "gamma words again today."),
+        ],
+        "doc_id long, text string",
+    )
+    fr = build_frames(
+        docs2,
+        text_cols=["text"],
+        frame_size=1,
+        analyser=DefaultAnalyser(stopword_list=["xx", "yy"]),
+    )
+    idx = build_index(fr, str(tmp_path / "idx"), num_buckets=4)
+    assert idx.has_doc_fields()
+    before = idx.field_stats().collect()[0]
+    # the all-stopped frame is real: doc 1 has 2 frames in the ledger
+    # ("alpha beta gamma" = 3 tokens + "xx yy" = 2 stopped tokens — the
+    # position counter advances over stopped tokens, framing.py)
+    lg = {
+        (r["doc_id"]): (r["frame_count"], r["token_count"])
+        for r in idx.doc_fields().collect()
+    }
+    assert lg[1] == (2, 5)
+
+    idx = delete_documents(idx, [3])
+    after = idx.field_stats().collect()[0]
+    assert after["frame_count"] == before["frame_count"] - 1
+    assert after["token_count"] == before["token_count"] - 4
+    assert after["doc_count"] == 2
+    # the ledger itself dropped doc 3 and kept doc 1's stopped frame
+    lg2 = {
+        r["doc_id"]: (r["frame_count"], r["token_count"])
+        for r in idx.doc_fields().collect()
+    }
+    assert 3 not in lg2 and lg2[1] == (2, 5)
+
+
+def test_append_extends_doc_fields_ledger(spark, tmp_path):
+    from caterpillar_spark.indexing.build import build_index
+    from caterpillar_spark.streaming.incremental import append_batch
+
+    base = build_frames(
+        spark.createDataFrame([(1, "one two three")], "doc_id long, text string"),
+        text_cols=["text"], frame_size=0,
+    )
+    idx = build_index(base, str(tmp_path / "idx"), num_buckets=4)
+    extra = build_frames(
+        spark.createDataFrame([(2, "four five")], "doc_id long, text string"),
+        text_cols=["text"], frame_size=0,
+    )
+    idx = append_batch(extra, str(tmp_path / "idx"))
+    lg = {r["doc_id"]: r["token_count"] for r in idx.doc_fields().collect()}
+    assert lg == {1: 3, 2: 2}
