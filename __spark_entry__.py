@@ -583,6 +583,32 @@ def q_ngram_search_compressed(spark, sf_dir):
     ).select("doc_id", "matches")
 
 
+def q_proximity(spark, sf_dir):
+    """Unordered 3-term minimal-window proximity (r5): frames where
+    one position of each of data/join/scan fits in a 6-token span.
+    The span search runs inside the row as nested JVM higher-order
+    transforms over the position arrays — no explode, no extra
+    shuffle (query/analytics.py proximity_search)."""
+    from caterpillar_spark.query.analytics import proximity_search
+
+    idx = _index_cached(sf_dir)
+    return proximity_search(
+        idx.postings(), ["data", "join", "scan"], window=6
+    ).select("doc_id", "min_span", "n_windows")
+
+
+def q_proximity_ordered(spark, sf_dir):
+    """Ordered proximity (Lucene sloppy-phrase-style): 'spark' before
+    'join' within 3 positions; ordered + window=len-1 degenerates to
+    exact adjacency (pytest invariant vs search_ngram)."""
+    from caterpillar_spark.query.analytics import proximity_search
+
+    idx = _index_cached(sf_dir)
+    return proximity_search(
+        idx.postings(), ["spark", "join"], window=3, ordered=True
+    ).select("doc_id", "min_span", "n_windows")
+
+
 # --------------------------------------------------------------------------
 # corpus ops surface
 
@@ -911,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_bigrams": q_significant_bigrams,
         "ngram_search": q_ngram_search,
         "ngram_search_compressed": q_ngram_search_compressed,
+        "proximity": q_proximity,
+        "proximity_ordered": q_proximity_ordered,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "gopher_quality": q_gopher_quality,
@@ -1592,6 +1620,36 @@ FROM tok a
 JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'spark' AND b.term = 'join'
 GROUP BY a.doc_id
+""",
+        # unordered 3-term minimal-window proximity, window 6
+        "proximity": f"""
+WITH {_TOK}
+SELECT a.doc_id,
+       min(greatest(a.pos, b.pos, c.pos)
+           - least(a.pos, b.pos, c.pos))::INT AS min_span,
+       (count(*) FILTER (greatest(a.pos, b.pos, c.pos)
+                         - least(a.pos, b.pos, c.pos) <= 6))::INT
+           AS n_windows
+FROM tok a
+JOIN tok b ON a.doc_id = b.doc_id
+JOIN tok c ON a.doc_id = c.doc_id
+WHERE a.term = 'data' AND b.term = 'join' AND c.term = 'scan'
+GROUP BY a.doc_id
+HAVING min(greatest(a.pos, b.pos, c.pos)
+           - least(a.pos, b.pos, c.pos)) <= 6
+""",
+        # ordered pair proximity: 'spark' strictly before 'join',
+        # gap <= 3
+        "proximity_ordered": f"""
+WITH {_TOK}
+SELECT a.doc_id,
+       min(b.pos - a.pos)::INT AS min_span,
+       (count(*) FILTER (b.pos - a.pos <= 3))::INT AS n_windows
+FROM tok a
+JOIN tok b ON a.doc_id = b.doc_id AND b.pos > a.pos
+WHERE a.term = 'spark' AND b.term = 'join'
+GROUP BY a.doc_id
+HAVING min(b.pos - a.pos) <= 3
 """,
         "token_stats": """
 WITH t AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents)

@@ -73,6 +73,23 @@ def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def hashed_shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit fingerprints
+    (``xxhash64`` over the token-slice array — no per-shingle string is
+    ever built, which is ~20% of the whole shingling pass at 2M docs).
+    Use when only shingle EQUALITY matters (decontamination, bucketing);
+    :func:`shingles_col` keeps the string form for set-overlap ops that
+    report the shingles themselves."""
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.xxhash64(toks))
+    )
+
+
 def exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -521,8 +538,16 @@ def decontaminate(
     pass.  If the benchmark outgrows broadcast (~GBs), drop the
     explicit ``broadcast()`` hint and Spark falls back to a shuffle
     join on the shingle key — same semantics.
+
+    Shingles are compared as 64-bit ``xxhash64`` fingerprints
+    (:func:`hashed_shingles_col`) — no per-shingle string is built,
+    and the broadcast side carries 8 bytes per shingle.  A hash
+    collision could flag a clean document; at 64 bits the expected
+    collision count against an M-shingle benchmark is ~corpus_shingles
+    * M / 2^64 (zero in practice, and the failure mode is a spurious
+    flag, never a missed hit on an exact overlap).
     """
-    sh = shingles_col(text_col, shingle_n)
+    sh = hashed_shingles_col(text_col, shingle_n)
     bench_sh = benchmark.select(
         F.explode(sh).alias("shingle")
     ).distinct()

@@ -159,6 +159,83 @@ def search_ngram(postings: DataFrame, terms: list) -> DataFrame:
     )
 
 
+def proximity_search(
+    postings: DataFrame,
+    terms: list,
+    window: int,
+    ordered: bool = False,
+) -> DataFrame:
+    """Minimal-window proximity match: frames where one position of
+    EVERY term fits inside a span of ``window`` token positions
+    (``max - min <= window``); with ``ordered=True`` the chosen
+    positions must additionally be strictly increasing in term order
+    (Lucene sloppy-phrase-style semantics — ``ordered`` proximity with
+    ``window = len(terms) - 1`` is exactly :func:`search_ngram`
+    adjacency, pinned by a pytest invariant).
+
+    Beyond-reference operator (the reference stops at exact n-gram
+    adjacency, sqlite.py:996-1047); returns
+    ``(doc_id, frame_seq, min_span, n_windows)`` for matching frames,
+    where ``min_span`` is the tightest qualifying span and
+    ``n_windows`` counts qualifying position combinations.
+
+    Execution: one selective postings scan per term (term-bucket
+    prunable), an n-way equi-join on (doc_id, frame_seq) — each side
+    already cut to one row per matching frame — then the span search
+    runs INSIDE the row as nested higher-order ``transform``s over the
+    position arrays: no explode, no extra shuffle, no Python.  The
+    per-row cost is the product of the terms' within-frame frequencies,
+    which sentence-window frames keep tiny; for frame_size=0 (whole-doc
+    frames) with several very hot terms, prefer the compressed phrase
+    kernel family or cut frequencies upstream.
+    """
+    if len(terms) < 2:
+        raise ValueError("proximity needs at least 2 terms")
+    if len(set(terms)) != len(terms):
+        # a repeated term could pick the SAME position twice (span 0)
+        raise ValueError("proximity terms must be distinct")
+    if window < len(terms) - 1:
+        # n distinct positions can never fit a tighter span
+        raise ValueError("window must be >= len(terms) - 1")
+
+    def spans(i, bound):
+        # nested transform: innermost emits the span when the bound
+        # combination qualifies, NULL otherwise
+        if i == len(terms):
+            span = F.greatest(*bound) - F.least(*bound)
+            cond = span <= F.lit(window)
+            if ordered:
+                for a, b in zip(bound, bound[1:]):
+                    cond = cond & (a < b)
+            return F.when(cond, span)
+        return F.transform(
+            F.col(f"_pos_{i}"), lambda p: spans(i + 1, bound + [p])
+        )
+
+    cur = None
+    for i, t in enumerate(terms):
+        side = postings.where(F.col("term") == t).select(
+            "doc_id", "frame_seq", F.col("positions").alias(f"_pos_{i}")
+        )
+        cur = side if cur is None else cur.join(
+            side, ["doc_id", "frame_seq"]
+        )
+    nested = spans(0, [])
+    for _ in range(len(terms) - 1):
+        nested = F.flatten(nested)
+    qual = F.filter(nested, lambda s: s.isNotNull())
+    return (
+        cur.withColumn("_q", qual)
+        .where(F.size("_q") > 0)
+        .select(
+            "doc_id",
+            "frame_seq",
+            F.array_min("_q").cast("int").alias("min_span"),
+            F.size("_q").cast("int").alias("n_windows"),
+        )
+    )
+
+
 def case_fold_terms(postings: DataFrame, ratio: float = 0.7) -> DataFrame:
     """Suggest merging case variants: for each lowercase form with
     multiple casings, emit (variant -> fold_to) when the variant's
