@@ -776,6 +776,22 @@ def q_stratified_sample(spark, sf_dir):
     return picked.select("doc_id", "source", "sample_bucket")
 
 
+def q_corpus_keyness(spark, sf_dir):
+    """Dunning log-likelihood keyness (r5): which terms are
+    significantly over-represented in the English subcorpus vs the
+    rest — the corpus-drift statistic a crawl pipeline runs between
+    snapshots.  Two term-keyed partial aggs + one full-outer join;
+    corpus totals ride a broadcast 1-row crossJoin."""
+    from caterpillar_spark.ops import corpus_keyness
+
+    docs = _docs(spark, sf_dir)
+    return corpus_keyness(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        min_count=20,
+    )
+
+
 def q_topk_stored_docs(spark, sf_dir):
     """BM25 top-k through the PERSISTED index (term-bucket partition
     pruning) joined back to the stored source documents via the
@@ -953,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survivor_selection": q_survivor_selection,
         "token_budget_sample": q_token_budget_sample,
         "stratified_sample": q_stratified_sample,
+        "corpus_keyness": q_corpus_keyness,
         "topk_stored_docs": q_topk_stored_docs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1873,6 +1890,41 @@ WHERE sample_bucket < CASE source
     WHEN 'src2' THEN 500000
     WHEN 'src3' THEN 250000
     ELSE 100000 END
+""",
+        # Dunning log-likelihood keyness: en subcorpus vs the rest
+        "corpus_keyness": """
+WITH wa AS (
+    SELECT unnest(str_split(text, ' ')) AS term
+    FROM documents WHERE lang = 'en'
+),
+wb AS (
+    SELECT unnest(str_split(text, ' ')) AS term
+    FROM documents WHERE lang <> 'en'
+),
+ca AS (SELECT term, count(*)::BIGINT AS n FROM wa GROUP BY term),
+cb AS (SELECT term, count(*)::BIGINT AS n FROM wb GROUP BY term),
+tot AS (
+    SELECT (SELECT sum(n) FROM ca)::DOUBLE AS ta,
+           (SELECT sum(n) FROM cb)::DOUBLE AS tb
+),
+j AS (
+    SELECT coalesce(ca.term, cb.term) AS term,
+           coalesce(ca.n, 0)::BIGINT AS a,
+           coalesce(cb.n, 0)::BIGINT AS b
+    FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+)
+SELECT term, a AS count_a, b AS count_b,
+       round(2 * (
+           CASE WHEN a > 0
+                THEN a * ln(a / (t.ta * (a + b) / (t.ta + t.tb)))
+                ELSE 0 END
+         + CASE WHEN b > 0
+                THEN b * ln(b / (t.tb * (a + b) / (t.ta + t.tb)))
+                ELSE 0 END), 6) AS g2,
+       CASE WHEN a / t.ta > b / t.tb THEN 'a' ELSE 'b' END
+           AS overused_in
+FROM j, tot t
+WHERE a + b >= 20
 """,
         "topk_stored_docs": f"""
 WITH {_TOK},

@@ -26,6 +26,7 @@ from caterpillar_spark.ops.textstats import (
     gopher_quality_flags,
     language_id,
     fingerprints,
+    corpus_keyness,
 )
 from caterpillar_spark.ops.dedup import (
     exact_dedup,
@@ -60,6 +61,7 @@ __all__ = [
     "gopher_quality_flags",
     "language_id",
     "fingerprints",
+    "corpus_keyness",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidates",

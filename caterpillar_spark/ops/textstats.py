@@ -347,3 +347,71 @@ def fingerprints(
         F.md5(norm).alias("content_fp"),
         F.md5(bag).alias("bag_fp"),
     )
+
+
+def corpus_keyness(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood keyness between two corpora — the
+    standard corpus-comparison / drift statistic (Dunning 1993; Rayson
+    & Garside 2000): which terms are significantly over-represented in
+    corpus A relative to corpus B?  The training-pipeline use is crawl
+    drift — compare this month's snapshot against last month's and
+    surface the vocabulary shift.
+
+    For each term with combined count >= ``min_count``:
+    ``G2 = 2 * (a*ln(a/E1) + b*ln(b/E2))`` where ``a``/``b`` are the
+    term's token counts in A/B, ``E1 = tA*(a+b)/(tA+tB)`` and
+    ``E2 = tB*(a+b)/(tA+tB)`` the expected counts under the
+    null (same rate in both), ``tA``/``tB`` the corpus token totals.
+    Zero-count sides contribute 0 (the ``x*ln(x)`` limit).  Returns
+    ``(term, count_a, count_b, g2, overused_in)``.
+
+    Scale shape: one explode + term-keyed partial aggregation per side,
+    one full-outer equi-join on term, scalar totals carried as a
+    broadcast 1-row crossJoin — at 10^12 tokens this is two
+    shuffles on a vocabulary-sized relation; nothing driver-side.
+    """
+    def counts(docs):
+        return (
+            docs.select(F.explode(tokens_col(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    ca = counts(docs_a)
+    cb = counts(docs_b)
+    tot_a = ca.agg(F.sum("n").alias("ta"))
+    tot_b = cb.agg(F.sum("n").alias("tb"))
+    joined = (
+        ca.withColumnRenamed("n", "count_a")
+        .join(cb.withColumnRenamed("n", "count_b"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("count_a", F.lit(0)).cast("long").alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).cast("long").alias("count_b"),
+        )
+        .where(F.col("count_a") + F.col("count_b") >= F.lit(min_count))
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    a, b = F.col("count_a"), F.col("count_b")
+    ta, tb = F.col("ta").cast("double"), F.col("tb").cast("double")
+    e1 = ta * (a + b) / (ta + tb)
+    e2 = tb * (a + b) / (ta + tb)
+    term_ll = (
+        F.when(a > 0, a * F.log(a / e1)).otherwise(F.lit(0.0))
+        + F.when(b > 0, b * F.log(b / e2)).otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "term",
+        "count_a",
+        "count_b",
+        F.round(2.0 * term_ll, 6).alias("g2"),
+        F.when(a / ta > b / tb, F.lit("a")).otherwise(F.lit("b")).alias(
+            "overused_in"
+        ),
+    )

@@ -334,3 +334,40 @@ def test_ann_multi_table_recall(spark):
     assert sum(multi) / 3 >= 0.4
     assert sum(multi) > sum(single)
     emb.unpersist()
+
+
+def test_corpus_keyness_dunning_g2(spark):
+    """Hand-computed Dunning log-likelihood on a 2-corpus toy:
+    A = 'x x y', B = 'x z z z' (ta=3, tb=4)."""
+    import math
+
+    from caterpillar_spark.ops import corpus_keyness
+
+    a = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x z z z")], "doc_id long, text string")
+    out = {
+        r["term"]: r
+        for r in corpus_keyness(a, b, min_count=1).collect()
+    }
+    assert set(out) == {"x", "y", "z"}
+    assert (out["x"]["count_a"], out["x"]["count_b"]) == (2, 1)
+
+    def g2(ca, cb, ta=3.0, tb=4.0):
+        tot = ta + tb
+        s = 0.0
+        if ca:
+            s += ca * math.log(ca / (ta * (ca + cb) / tot))
+        if cb:
+            s += cb * math.log(cb / (tb * (ca + cb) / tot))
+        return 2 * s
+
+    assert out["x"]["g2"] == pytest.approx(g2(2, 1), abs=1e-5)
+    assert out["y"]["g2"] == pytest.approx(g2(1, 0), abs=1e-5)
+    assert out["z"]["g2"] == pytest.approx(g2(0, 3), abs=1e-5)
+    # x at rate 2/3 in A vs 1/4 in B; y only in A; z only in B
+    assert out["x"]["overused_in"] == "a"
+    assert out["y"]["overused_in"] == "a"
+    assert out["z"]["overused_in"] == "b"
+    # min_count filters the combined count
+    few = corpus_keyness(a, b, min_count=4).collect()
+    assert {r["term"] for r in few} == set()
