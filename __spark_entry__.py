@@ -776,6 +776,20 @@ def q_stratified_sample(spark, sf_dir):
     return picked.select("doc_id", "source", "sample_bucket")
 
 
+def q_query_string_near(spark, sf_dir):
+    """Sloppy-phrase query-string clause (r5): '"join scan"~4' parses
+    to an unordered minimal-window proximity constraint; the 'data'
+    term scores through the ordinary tfidf path."""
+    from caterpillar_spark.query.parser import execute_query
+
+    idx = _index_cached(sf_dir)
+    return _rounded(
+        execute_query(
+            idx, 'data "join scan"~4', k=K, unit="document", scorer="tfidf"
+        )
+    )
+
+
 def q_corpus_keyness(spark, sf_dir):
     """Dunning log-likelihood keyness (r5): which terms are
     significantly over-represented in the English subcorpus vs the
@@ -970,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "stratified_sample": q_stratified_sample,
         "corpus_keyness": q_corpus_keyness,
+        "query_string_near": q_query_string_near,
         "topk_stored_docs": q_topk_stored_docs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1890,6 +1905,27 @@ WHERE sample_bucket < CASE source
     WHEN 'src2' THEN 500000
     WHEN 'src3' THEN 250000
     ELSE 100000 END
+""",
+        # sloppy-phrase constraint: join..scan within a 4-token span
+        # (any order), 'data' scored by tfidf
+        "query_string_near": f"""
+WITH {_TOK},
+nr AS (
+    SELECT DISTINCT a.doc_id
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+    WHERE a.term = 'join' AND b.term = 'scan'
+      AND abs(a.pos - b.pos) <= 4
+)
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(t.freq * (1.0 + ln(c.n / (s.ff + 1.0)))), 6) AS score
+    FROM tf t
+    JOIN stats s ON t.term = s.term
+    JOIN nr ON t.doc_id = nr.doc_id
+    CROSS JOIN consts c
+    WHERE t.term = 'data'
+    GROUP BY t.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT {K}
 """,
         # Dunning log-likelihood keyness: en subcorpus vs the rest
         "corpus_keyness": """

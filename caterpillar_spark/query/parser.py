@@ -17,6 +17,11 @@ Syntax (whitespace-separated clauses):
 * ``"a b c"``         — exact phrase (consecutive positions); phrases
   act as match constraints (``-"a b"`` excludes). A phrase-only query
   scores by phrase match count.
+* ``"a b"~k``         — sloppy phrase / proximity: all words inside a
+  span of ``k`` token positions, ANY order (SPAN semantics — max
+  minus min position ≤ k — not Lucene's move-count slop; ``k`` must
+  be ≥ words-1).  Same constraint/exclude/only-query roles as exact
+  phrases; a near-only query scores by qualifying-window count.
 * ``field:value`` / ``field:>=10`` etc. — metadata predicate
   (``=, <, <=, >, >=``); multiple predicates on one field conjoin.
 
@@ -62,10 +67,12 @@ class QuerySpec:
     must_not: List[Clause] = dfield(default_factory=list)
     phrases: List[List[str]] = dfield(default_factory=list)
     not_phrases: List[List[str]] = dfield(default_factory=list)
+    near: List[Tuple[List[str], int]] = dfield(default_factory=list)
+    not_near: List[Tuple[List[str], int]] = dfield(default_factory=list)
     metadata: Dict[str, Dict[str, object]] = dfield(default_factory=dict)
 
 
-_CLAUSE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+_CLAUSE = re.compile(r'([+-]?)("([^"]*)"(~[0-9]+)?|\S+)')
 _FIELDED = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(>=|<=|>|<|=)?(.+)$")
 _FUZZY = re.compile(r"^(.+?)~([0-9])?$")
 
@@ -76,13 +83,33 @@ def parse_query(q: str) -> QuerySpec:
     :func:`execute_query`)."""
     spec = QuerySpec()
     matched_any = False
-    for mod, raw, quoted in _CLAUSE.findall(q):
+    for mod, raw, quoted, slop in _CLAUSE.findall(q):
         matched_any = True
-        if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+        if raw.startswith('"') and (raw.endswith('"') or slop):
             words = quoted.lower().split()
             if not words:
                 continue
-            if len(words) == 1:  # quoted single word = plain term
+            if slop:
+                k = int(slop[1:])
+                if len(words) < 2:
+                    raise ValueError(
+                        f"proximity clause {raw!r} needs at least 2 words"
+                    )
+                if k < len(words) - 1:
+                    raise ValueError(
+                        f"proximity window {k} in {raw!r} cannot fit "
+                        f"{len(words)} distinct positions (need >= "
+                        f"{len(words) - 1})"
+                    )
+                if len(set(words)) != len(words):
+                    raise ValueError(
+                        f"proximity clause {raw!r} repeats a word "
+                        "(a repeated word could satisfy the span with "
+                        "one position)"
+                    )
+                target = spec.not_near if mod == "-" else spec.near
+                target.append((words, k))
+            elif len(words) == 1:  # quoted single word = plain term
                 _add_term(spec, mod, words[0])
             elif mod == "-":
                 spec.not_phrases.append(words)
@@ -115,7 +142,10 @@ def parse_query(q: str) -> QuerySpec:
         _add_term(spec, mod, tok.lower())
     if not matched_any and q.strip():
         raise ValueError(f"unparseable query {q!r}")
-    if not (spec.must or spec.should or spec.phrases or spec.metadata):
+    if not (
+        spec.must or spec.should or spec.phrases or spec.near
+        or spec.metadata
+    ):
         raise ValueError("query has no positive clause")
     return spec
 
@@ -290,6 +320,7 @@ def execute_query(
     keys = ["doc_id"] if unit == "document" else ["doc_id", "field", "frame_seq"]
     metadata = spec.metadata or None
     phrase_constraints = list(spec.phrases)
+    near_constraints = list(spec.near)
 
     if must or should:
         scored = filter_frames(
@@ -318,6 +349,38 @@ def execute_query(
                 index, should=must_not, unit=unit, metadata=None
             ).select(*keys)
             scored = scored.join(excluded, keys, "left_anti")
+    elif spec.near:
+        # near-only query: score = qualifying-window count of the
+        # FIRST proximity clause (the phrase-only contract, same
+        # unit='document' restriction — proximity runs on the raw
+        # postings layout, which carries no field identity)
+        if unit != "document":
+            raise ValueError(
+                "proximity-only queries score at unit='document' "
+                "(proximity_search has no field identity)"
+            )
+        from caterpillar_spark.query.analytics import proximity_search_index
+        from caterpillar_spark.query.engine import metadata_predicate
+
+        words, kw = spec.near[0]
+        if metadata:
+            from caterpillar_spark.query.analytics import proximity_search
+
+            posts = index.postings().where(
+                metadata_predicate(metadata, schema=schema)
+            )
+            pm = proximity_search(posts, list(words), kw)
+        else:
+            pm = proximity_search_index(index, list(words), kw)
+        scored = pm.groupBy("doc_id").agg(
+            F.sum("n_windows").cast("double").alias("score")
+        )
+        near_constraints = near_constraints[1:]
+        if must_not:
+            excluded = filter_frames(
+                index, should=must_not, unit=unit, metadata=None
+            ).select(*keys)
+            scored = scored.join(excluded, keys, "left_anti")
     else:
         # metadata-only query: the no-posting-join fast path over frames
         from caterpillar_spark.query.engine import filter_metadata
@@ -336,6 +399,12 @@ def execute_query(
         scored = scored.join(pm, pkeys, "left_semi")
     for ph in spec.not_phrases:
         pm, pkeys = _phrase_units(index, ph, unit, phrase_engine)
+        scored = scored.join(pm, pkeys, "left_anti")
+    for words, kw in near_constraints:
+        pm, pkeys = _near_units(index, words, kw, unit)
+        scored = scored.join(pm, pkeys, "left_semi")
+    for words, kw in spec.not_near:
+        pm, pkeys = _near_units(index, words, kw, unit)
         scored = scored.join(pm, pkeys, "left_anti")
 
     return scored.orderBy(F.desc("score"), *keys).limit(k)
@@ -372,10 +441,10 @@ def execute_query_wand(
             "metadata clauses are not in the compressed lists — use "
             "execute_query"
         )
-    if spec.phrases or spec.not_phrases:
+    if spec.phrases or spec.not_phrases or spec.near or spec.not_near:
         raise ValueError(
-            "phrase clauses would be approximate after a WAND top-k "
-            "cut — use execute_query"
+            "phrase/proximity clauses would be approximate after a "
+            "WAND top-k cut — use execute_query"
         )
     resolved = _resolve_all(
         index, [*spec.must, *spec.should, *spec.must_not], max_expansions
@@ -594,6 +663,20 @@ def _phrase_units(
 ) -> Tuple[DataFrame, List[str]]:
     pm = _phrase_matches(index, phrase, engine)
     keys = _phrase_keys(unit, pm)
+    return pm.select(*keys).distinct(), keys
+
+
+def _near_units(
+    index, words: Sequence[str], window: int, unit: str
+) -> Tuple[DataFrame, List[str]]:
+    """Distinct match units of one proximity clause.  Raw-postings
+    layout only (no field identity), so frame-unit keys are
+    (doc_id, frame_seq) — the same single-field contract as the raw
+    phrase path (:func:`_phrase_keys`)."""
+    from caterpillar_spark.query.analytics import proximity_search_index
+
+    pm = proximity_search_index(index, list(words), window)
+    keys = ["doc_id"] if unit == "document" else ["doc_id", "frame_seq"]
     return pm.select(*keys).distinct(), keys
 
 

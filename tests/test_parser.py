@@ -278,3 +278,45 @@ def test_unsatisfiable_must_expansion_is_empty(index):
     # ...but an unsatisfiable OPTIONAL expansion is dropped
     out2 = execute_query(index, "zzzzzz~1 spark", k=10)
     assert set(_ids(out2)) == {1, 2, 4}
+
+
+# ---------------------------------------------------------------- proximity
+
+def test_parse_sloppy_phrases():
+    s = parse_query('table "spark join"~3 -"slow join"~2')
+    assert s.near == [(["spark", "join"], 3)]
+    assert s.not_near == [(["slow", "join"], 2)]
+    assert s.should == ["table"] and s.phrases == []
+
+
+def test_parse_sloppy_phrase_rejections():
+    with pytest.raises(ValueError, match="at least 2 words"):
+        parse_query('"spark"~3')
+    with pytest.raises(ValueError, match="cannot fit"):
+        parse_query('"a b c"~1')
+    with pytest.raises(ValueError, match="repeats a word"):
+        parse_query('"the the"~2')
+
+
+def test_execute_near_constraint(index):
+    # spark..join within a 2-token span: only doc 1 (spark@0, join@2)
+    got = execute_query(index, 'table "spark join"~2', k=10)
+    assert _ids(got) == [1]
+    # unordered: reversed words match the same doc
+    rev = execute_query(index, 'table "join spark"~2', k=10)
+    assert _ids(rev) == [1]
+    anti = execute_query(index, 'table -"spark join"~2', k=10)
+    assert set(_ids(anti)) == {2, 3, 4}
+
+
+def test_execute_near_only_scores_by_windows(index):
+    # doc 1: spark@0, join@{2,5} -> qualifying windows (0,2) and (0,5)
+    got = execute_query(index, '"spark join"~5', k=10).collect()
+    assert {(r["doc_id"], r["score"]) for r in got} == {(1, 2.0)}
+
+
+def test_execute_query_wand_rejects_near(spark, index, tmp_path):
+    from caterpillar_spark.query.parser import execute_query_wand
+
+    with pytest.raises(ValueError, match="proximity"):
+        execute_query_wand(index, None, 'spark "fast hash"~2')
