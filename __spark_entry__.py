@@ -346,8 +346,15 @@ def q_case_fold_terms(spark, sf_dir):
     """Case-variant merge suggestions (reference get_case_fold_terms,
     index.py:1009-1039): every fifth document is deterministically
     uppercased, so 'spark'/'SPARK' style variant pairs exist; variants
-    under 0.7x the dominant casing's frame frequency fold into it."""
-    from caterpillar_spark.framing import build_frames, frames_to_postings
+    under 0.7x the dominant casing's frame frequency fold into it.
+
+    The postings relation is built by SQL-reproducible space-split
+    tokenization (one row per distinct (doc, term)), NOT build_frames:
+    the default analyser's PositionalLowercaseWordFilter folds
+    sentence-initial Title-case tokens ('A ...' -> 'a') at punkt
+    sentence starts, which no SQL oracle can reproduce.  The analysis
+    chain itself is pinned byte-exact by the reference-fixture pytest
+    suite; this oracle checks the fold ANALYTICS."""
     from caterpillar_spark.query.analytics import case_fold_terms
 
     docs = _docs(spark, sf_dir).select(
@@ -356,8 +363,10 @@ def q_case_fold_terms(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    frames = build_frames(docs, text_cols=["text"], frame_size=2)
-    return case_fold_terms(frames_to_postings(frames), ratio=0.7)
+    posts = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    return case_fold_terms(posts, ratio=0.7)
 
 
 def q_query_string_topk(spark, sf_dir):
