@@ -785,6 +785,29 @@ def q_stratified_sample(spark, sf_dir):
     return picked.select("doc_id", "source", "sample_bucket")
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-wide line-level boilerplate removal (r5, the
+    C4/RefinedWeb line-dedup stage): a deterministic footer line is
+    appended to every third document; lines occurring in >= 50
+    distinct documents are boilerplate and are stripped, original
+    line order preserved."""
+    from caterpillar_spark.ops import dedup_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(". standard boilerplate footer text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_lines(docs, min_repeat=50, sep=". ")
+
+
 def q_query_string_near(spark, sf_dir):
     """Sloppy-phrase query-string clause (r5): '"join scan"~4' parses
     to an unordered minimal-window proximity constraint; the 'data'
@@ -993,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "stratified_sample": q_stratified_sample,
         "corpus_keyness": q_corpus_keyness,
+        "dedup_lines": q_dedup_lines,
         "query_string_near": q_query_string_near,
         "topk_stored_docs": q_topk_stored_docs,
         "simhash": q_simhash,
@@ -1914,6 +1938,40 @@ WHERE sample_bucket < CASE source
     WHEN 'src2' THEN 500000
     WHEN 'src3' THEN 250000
     ELSE 100000 END
+""",
+        # line-level boilerplate removal: the injected footer appears
+        # in ~1/3 of docs (>= 50), base lines stay under the threshold
+        "dedup_lines": """
+WITH src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || '. standard boilerplate footer text'
+                ELSE text END AS t
+    FROM documents
+),
+l AS (
+    SELECT doc_id,
+           unnest(str_split(t, '. ')) AS line,
+           generate_subscripts(str_split(t, '. '), 1) AS pos
+    FROM src
+),
+hot AS (
+    SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS n FROM l GROUP BY line
+    ) WHERE n >= 50
+),
+f AS (
+    SELECT l.doc_id, l.pos, l.line, hot.line IS NOT NULL AS rm
+    FROM l LEFT JOIN hot ON l.line = hot.line
+)
+SELECT doc_id,
+       coalesce(
+           string_agg(CASE WHEN NOT rm THEN line END, '. ' ORDER BY pos),
+           ''
+       ) AS text,
+       count(*)::INT AS n_lines,
+       sum(CASE WHEN rm THEN 1 ELSE 0 END)::INT AS n_removed
+FROM f GROUP BY doc_id
 """,
         # sloppy-phrase constraint: join..scan within a 4-token span
         # (any order), 'data' scored by tfidf

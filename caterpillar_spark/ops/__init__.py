@@ -36,6 +36,7 @@ from caterpillar_spark.ops.dedup import (
     simhash,
     ngram_jaccard_pairs,
     decontaminate,
+    dedup_lines,
 )
 from caterpillar_spark.ops.sampling import (
     select_survivors,
@@ -69,6 +70,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "decontaminate",
+    "dedup_lines",
     "select_survivors",
     "token_budget_sample",
     "stratified_sample",

@@ -570,3 +570,80 @@ def decontaminate(
             ).alias("is_contaminated"),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_repeat: int = 10,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide line-level boilerplate removal (the C4/RefinedWeb
+    line-dedup stage): a line (``sep``-separated segment, literal
+    separator) that occurs in at least ``min_repeat`` DISTINCT
+    documents is boilerplate — navigation strings, cookie banners,
+    footers — and is dropped from every document.
+
+    Returns one row per input document:
+    ``(id, text, n_lines, n_removed)`` where ``text`` is the cleaned
+    document (kept lines re-joined with ``sep``; empty string when
+    every line was boilerplate) — distinct-document counting, so a
+    document repeating its own line does not make it boilerplate
+    (within-doc repetition is `repetition_stats`' job).
+
+    Scale shape: one explode (narrow) + one line-keyed two-phase
+    aggregation (count distinct docs; map-side combine collapses each
+    executor's duplicates), one equi-join of the line stream against
+    the hot-line set, one doc-keyed re-aggregation that rebuilds the
+    text via sorted-struct arrays — all shuffles are line-keyed or
+    doc-keyed; nothing is driver-side and no relation exceeds the
+    line stream.  The hot-line set (boilerplate) is usually tiny —
+    Spark's AQE will broadcast it when it is.
+    """
+    import re as _re
+
+    split_pat = _re.escape(sep)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pat)).alias(
+            "_pos", "_line"
+        ),
+    )
+    hot = (
+        lines.groupBy("_line")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .where(F.col("_docs") >= F.lit(min_repeat))
+        .select("_line", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(hot, "_line", "left").select(
+        id_col,
+        "_pos",
+        "_line",
+        F.coalesce("_boiler", F.lit(False)).alias("_boiler"),
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("_boiler"), F.struct("_pos", "_line")
+            )
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            kept_sorted.alias("_kept"),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.col("_boiler").cast("int")).cast("int").alias(
+                "n_removed"
+            ),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                sep, F.transform(F.col("_kept"), lambda s: s["_line"])
+            ).alias("text"),
+            "n_lines",
+            "n_removed",
+        )
+    )

@@ -371,3 +371,33 @@ def test_corpus_keyness_dunning_g2(spark):
     # min_count filters the combined count
     few = corpus_keyness(a, b, min_count=4).collect()
     assert {r["term"] for r in few} == set()
+
+
+def test_dedup_lines_boilerplate(spark):
+    """Corpus-wide line dedup: 'b' appears in 3 distinct docs (>= 2),
+    so it is boilerplate; within-doc repetition alone does not qualify
+    (distinct-document counting)."""
+    from caterpillar_spark.ops import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a. b. c"),
+            (2, "x. b. y"),
+            (3, "b. z"),
+            (4, "q. q"),     # within-doc repeat only: q in ONE doc
+            (5, "b"),        # all-boilerplate doc -> empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in dedup_lines(docs, min_repeat=2, sep=". ").collect()
+    }
+    assert out[1] == ("a. c", 3, 1)
+    assert out[2] == ("x. y", 3, 1)
+    assert out[3] == ("z", 2, 1)
+    assert out[4] == ("q. q", 2, 0)   # q kept: only 1 distinct doc
+    assert out[5] == ("", 1, 1)
+    # raising the threshold above b's 4 distinct docs keeps everything
+    kept = dedup_lines(docs, min_repeat=5, sep=". ")
+    assert kept.agg(F.sum("n_removed")).collect()[0][0] == 0
