@@ -785,6 +785,32 @@ def q_stratified_sample(spark, sf_dir):
     return picked.select("doc_id", "source", "sample_bucket")
 
 
+def q_pii_scan(spark, sf_dir):
+    """Rule-based PII detection + redaction (r5): deterministic
+    emails/phones/IPs are injected into subsets of the corpus; the op
+    counts matches per type and redacts them — a narrow JVM map, zero
+    shuffles."""
+    from caterpillar_spark.ops import pii_scan
+
+    d = _docs(spark, sf_dir)
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" from 192.168.1.42"))
+        .otherwise(F.lit("")),
+    )
+    return pii_scan(d.select("doc_id", text2.alias("text")))
+
+
 def q_dedup_lines(spark, sf_dir):
     """Corpus-wide line-level boilerplate removal (r5, the
     C4/RefinedWeb line-dedup stage): a deterministic footer line is
@@ -1017,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "corpus_keyness": q_corpus_keyness,
         "dedup_lines": q_dedup_lines,
+        "pii_scan": q_pii_scan,
         "query_string_near": q_query_string_near,
         "topk_stored_docs": q_topk_stored_docs,
         "simhash": q_simhash,
@@ -1938,6 +1965,49 @@ WHERE sample_bucket < CASE source
     WHEN 'src2' THEN 500000
     WHEN 'src3' THEN 250000
     ELSE 100000 END
+""",
+        # PII detect + redact over deterministically injected
+        # emails/phones/IPs; patterns identical to ops PII_PATTERNS
+        "pii_scan": """
+WITH src AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' contact user' || doc_id::VARCHAR
+                        || '@example.com now' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' call 555-123-4567' ELSE '' END
+           || CASE WHEN doc_id % 9 = 0
+                   THEN ' from 192.168.1.42' ELSE '' END AS t
+    FROM documents
+),
+m AS (
+    SELECT doc_id, t,
+           len(regexp_extract_all(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'
+           ))::INT AS n_email,
+           len(regexp_extract_all(
+               t, '[0-9]{3}-[0-9]{3}-[0-9]{4}'
+           ))::INT AS n_phone,
+           len(regexp_extract_all(
+               t, '([0-9]{1,3}[.]){3}[0-9]{1,3}'
+           ))::INT AS n_ipv4
+    FROM src
+)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       (n_email + n_phone + n_ipv4)::INT AS n_pii,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(
+                   t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                   '[EMAIL]', 'g'
+               ),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'
+           ),
+           '([0-9]{1,3}[.]){3}[0-9]{1,3}', '[IPV4]', 'g'
+       ) AS text
+FROM m
 """,
         # line-level boilerplate removal: the injected footer appears
         # in ~1/3 of docs (>= 50), base lines stay under the threshold

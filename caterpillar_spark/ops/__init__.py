@@ -27,6 +27,7 @@ from caterpillar_spark.ops.textstats import (
     language_id,
     fingerprints,
     corpus_keyness,
+    pii_scan,
 )
 from caterpillar_spark.ops.dedup import (
     exact_dedup,
@@ -63,6 +64,7 @@ __all__ = [
     "language_id",
     "fingerprints",
     "corpus_keyness",
+    "pii_scan",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidates",

@@ -401,3 +401,25 @@ def test_dedup_lines_boilerplate(spark):
     # raising the threshold above b's 4 distinct docs keeps everything
     kept = dedup_lines(docs, min_repeat=5, sep=". ")
     assert kept.agg(F.sum("n_removed")).collect()[0][0] == 0
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from caterpillar_spark.ops import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to jane.doe+x@mail.example.org or bob@ex.io"),
+            (2, "call 555-123-4567 from 10.0.0.1 today"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_pii"]) == (2, 2)
+    assert out[1]["text"] == "write to [EMAIL] or [EMAIL]"
+    assert (out[2]["n_phone"], out[2]["n_ipv4"], out[2]["n_pii"]) == (1, 1, 2)
+    assert out[2]["text"] == "call [PHONE] from [IPV4] today"
+    assert out[3]["n_pii"] == 0 and out[3]["text"] == "nothing sensitive here"
+    # no redaction: counts only, original text untouched
+    cols = pii_scan(docs, redact=False).columns
+    assert "text" not in cols and "n_pii" in cols
