@@ -785,6 +785,20 @@ def q_stratified_sample(spark, sf_dir):
     return picked.select("doc_id", "source", "sample_bucket")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence-packing offsets (r5): documents laid out as one
+    concatenated token stream in doc_id order and sliced into 512-token
+    training chunks; each doc gets its global start offset, chunk id
+    and in-chunk position.  Distributed prefix-sum, no single-task
+    window."""
+    from caterpillar_spark.ops import pack_sequences
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    return pack_sequences(docs, seq_len=512, token_col="n_tokens")
+
+
 def q_pii_scan(spark, sf_dir):
     """Rule-based PII detection + redaction (r5): deterministic
     emails/phones/IPs are injected into subsets of the corpus; the op
@@ -1044,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_keyness": q_corpus_keyness,
         "dedup_lines": q_dedup_lines,
         "pii_scan": q_pii_scan,
+        "pack_sequences": q_pack_sequences,
         "query_string_near": q_query_string_near,
         "topk_stored_docs": q_topk_stored_docs,
         "simhash": q_simhash,
@@ -1965,6 +1980,25 @@ WHERE sample_bucket < CASE source
     WHEN 'src2' THEN 500000
     WHEN 'src3' THEN 250000
     ELSE 100000 END
+""",
+        # sequence-packing offsets: running token sum in doc_id order,
+        # 512-token chunks
+        "pack_sequences": """
+WITH t AS (
+    SELECT doc_id,
+           len(str_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           (SUM(n_tokens) OVER (ORDER BY doc_id ASC)
+            - n_tokens)::BIGINT AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // 512)::BIGINT AS chunk_id,
+       (start_offset % 512)::INT AS chunk_pos
+FROM c
 """,
         # PII detect + redact over deterministically injected
         # emails/phones/IPs; patterns identical to ops PII_PATTERNS

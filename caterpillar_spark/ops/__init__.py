@@ -43,6 +43,7 @@ from caterpillar_spark.ops.sampling import (
     select_survivors,
     token_budget_sample,
     stratified_sample,
+    pack_sequences,
 )
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
@@ -76,6 +77,7 @@ __all__ = [
     "select_survivors",
     "token_budget_sample",
     "stratified_sample",
+    "pack_sequences",
     "cosine_topk",
     "embedding_lsh_candidates",
     "embedding_near_dups",

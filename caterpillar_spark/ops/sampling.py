@@ -41,6 +41,7 @@ __all__ = [
     "select_survivors",
     "token_budget_sample",
     "stratified_sample",
+    "pack_sequences",
 ]
 
 
@@ -246,3 +247,86 @@ def stratified_sample(
     return docs.withColumn("sample_bucket", bucket).where(
         F.col("sample_bucket") < thresh
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-packing offsets for pretraining: documents are laid out
+    as one concatenated token stream in deterministic ``id_col`` order
+    and sliced into fixed ``seq_len`` chunks (the standard GPT-style
+    packing where documents may straddle chunk boundaries).  For each
+    document this returns WHERE it lands:
+    ``(id, n_tokens, start_offset, chunk_id, chunk_pos)`` — the global
+    token offset of the document's first token, the training chunk
+    that token falls in (``start_offset // seq_len``) and the position
+    within it.  A loader can groupBy ``chunk_id`` to materialize
+    training rows; the layout is a pure function of the corpus, so two
+    runs (or a resumed run) pack identically.
+
+    Execution: the global running total uses the same
+    range-partition + driver prefix-sum construction as
+    :func:`token_budget_sample` (and ``query.vectors.vocabulary``) —
+    one O(numPartitions) scalar job, per-partition windows with
+    broadcast literal offsets, no SinglePartition window at any size.
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = (
+        docs.repartitionByRange(nparts, F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        sums = {
+            r["_pid"]: r["s"]
+            for r in ranged.groupBy("_pid")
+            .agg(F.sum(F.col(token_col)).cast("long").alias("s"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            acc += sums[pid]
+        if offsets:
+            off_expr = F.element_at(
+                F.create_map(
+                    *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+                ),
+                F.col("_pid"),
+            )
+        else:
+            off_expr = F.lit(0)
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        start = (
+            off_expr
+            + F.sum(F.col(token_col)).over(w)
+            - F.col(token_col)
+        ).cast("long")
+        out = (
+            ranged.withColumn("start_offset", start)
+            .select(
+                id_col,
+                F.col(token_col).cast("long").alias("n_tokens"),
+                "start_offset",
+                (F.col("start_offset") / seq_len).cast("long").alias(
+                    "chunk_id"
+                ),
+                F.pmod(F.col("start_offset"), F.lit(seq_len))
+                .cast("int")
+                .alias("chunk_pos"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        ranged.unpersist()
+    return out

@@ -160,3 +160,25 @@ def test_stratified_sample_deterministic_and_nested(spark):
     # a different seed selects a different set
     other = stratified_sample(df, {"s0": 0.5, "s1": 0.5}, seed=4)
     assert a != {r["doc_id"] for r in other.collect()}
+
+
+def test_pack_sequences_offsets(spark, docs):
+    """Offsets equal the naive id-ordered cumulative sum; chunk math
+    is consistent; the layout is a pure function of the corpus."""
+    from caterpillar_spark.ops import pack_sequences
+
+    out = {
+        r["doc_id"]: r for r in pack_sequences(docs, seq_len=50).collect()
+    }
+    # docs fixture tokens by id: 1:10 2:20 3:30 4:40 5:50 6:60
+    want_start = {1: 0, 2: 10, 3: 30, 4: 60, 5: 100, 6: 150}
+    assert {d: r["start_offset"] for d, r in out.items()} == want_start
+    for d, r in out.items():
+        assert r["chunk_id"] == want_start[d] // 50
+        assert r["chunk_pos"] == want_start[d] % 50
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["start_offset"]
+        for r in pack_sequences(docs, seq_len=50).collect()
+    }
+    assert again == want_start
