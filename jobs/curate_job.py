@@ -59,10 +59,20 @@ def main() -> int:
 
     from pyspark.sql import SparkSession, functions as F
 
+    import os
+
     builder = SparkSession.builder.appName("caterpillar-curate")
     if args.cores:
-        builder = builder.master(f"local[{args.cores}]").config(
-            "spark.sql.shuffle.partitions", str(args.cores * 2)
+        builder = (
+            builder.master(f"local[{args.cores}]")
+            .config("spark.sql.shuffle.partitions", str(args.cores * 2))
+            # local mode: the driver JVM hosts the executors, so it
+            # needs real heap (same convention as build_index_job;
+            # under spark-submit --driver-memory wins)
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", "24g"),
+            )
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
