@@ -981,6 +981,65 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=3)
 
 
+def _crawl(spark, sf_dir):
+    """Deterministic crawl-shaped relation derived from ``documents``.
+
+    The driver tables carry no URL column, so the crawl shape
+    (url, warc_ts, ...) is synthesised column-algebraically from
+    (doc_id, source): five raw-URL variants per page (plain, cased,
+    trailing-slash, default-port, tracking-params) keyed by
+    ``doc_id % 5``, page identity by ``doc_id % 200`` — so several
+    docs re-crawl the same canonical page.  The DuckDB oracle
+    computes the canonical form straight from this construction
+    formula, which independently checks the regex canonicalizer in
+    ``ops/weburl.py`` rather than re-running the same regexes.
+    """
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    path = F.concat(F.lit("/docs/"), (F.col("doc_id") % 200).cast("string"))
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host), path))
+        .when(v == 2, F.concat(F.lit("https://"), host, path, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(
+            v == 4,
+            F.concat(
+                F.lit("https://"), host, path,
+                F.lit("?utm_source=feed&ref="),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, path))
+    )
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        url.alias("url"), F.col("doc_id").alias("warc_ts"),
+    )
+
+
+def q_url_snapshot_dedup(spark, sf_dir):
+    """Crawl-side snapshot dedup: canonicalize raw URLs (case, ports,
+    fragments, tracking params, trailing slashes), keep the newest
+    capture per canonical page.  One hash shuffle; window pair shares
+    the Exchange (ops/weburl.py)."""
+    from caterpillar_spark.ops import url_snapshot_dedup
+
+    out = url_snapshot_dedup(_crawl(spark, sf_dir), ts_col="warc_ts")
+    return out.select("canonical_url", "doc_id", "n_snapshots")
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl rollup: raw docs, distinct canonical pages,
+    languages, mean size — the domain-mix decision table.  One
+    algebraic aggregation keyed by host (ops/weburl.py)."""
+    from caterpillar_spark.ops import host_stats
+
+    return host_stats(
+        _crawl(spark, sf_dir), lang_col="lang", size_col="n_chars"
+    ).select("host", "n_docs", "n_pages", "n_langs", "mean_size")
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 
@@ -1071,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
         "significant_terms": q_significant_terms,
+        "url_snapshot_dedup": q_url_snapshot_dedup,
+        "host_stats": q_host_stats,
     }
 
 
@@ -2410,6 +2471,43 @@ JOIN probe p ON p.cid = a.cid
 CROSS JOIN q
 ORDER BY cosine DESC, e.vec_id ASC
 LIMIT 10
+""",
+        # Crawl-shape oracles: the canonical URL is computed straight
+        # from the synthesis formula in _crawl() (doc_id%5 variants all
+        # collapse to the plain form except the kept non-tracking query
+        # param), independently checking the regex canonicalizer.
+        "url_snapshot_dedup": """
+WITH crawl AS (
+    SELECT doc_id, lang, n_chars,
+           'https://' || source || '.example.org/docs/' || (doc_id % 200)
+             || CASE WHEN doc_id % 5 = 4 THEN '?ref=' || (doc_id % 3)
+                     ELSE '' END AS canon,
+           doc_id AS warc_ts
+    FROM documents
+)
+SELECT canon AS canonical_url, doc_id, n_snapshots FROM (
+    SELECT canon, doc_id,
+           row_number() OVER (PARTITION BY canon
+                              ORDER BY warc_ts DESC) AS rn,
+           count(*) OVER (PARTITION BY canon) AS n_snapshots
+    FROM crawl
+) WHERE rn = 1
+""",
+        "host_stats": """
+WITH crawl AS (
+    SELECT doc_id, lang, n_chars,
+           source || '.example.org' AS host,
+           'https://' || source || '.example.org/docs/' || (doc_id % 200)
+             || CASE WHEN doc_id % 5 = 4 THEN '?ref=' || (doc_id % 3)
+                     ELSE '' END AS canon
+    FROM documents
+)
+SELECT host,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT canon)::BIGINT AS n_pages,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(avg(n_chars), 6) AS mean_size
+FROM crawl GROUP BY host
 """,
     }
 

@@ -45,6 +45,12 @@ from caterpillar_spark.ops.sampling import (
     stratified_sample,
     pack_sequences,
 )
+from caterpillar_spark.ops.weburl import (
+    canonical_url,
+    host_of,
+    url_snapshot_dedup,
+    host_stats,
+)
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
     embedding_lsh_candidates,
@@ -78,6 +84,10 @@ __all__ = [
     "token_budget_sample",
     "stratified_sample",
     "pack_sequences",
+    "canonical_url",
+    "host_of",
+    "url_snapshot_dedup",
+    "host_stats",
     "cosine_topk",
     "embedding_lsh_candidates",
     "embedding_near_dups",

@@ -1,0 +1,144 @@
+"""URL-level curation operators for Common-Crawl-style web corpora.
+
+The two crawl-side stages a web-text pipeline runs BEFORE any
+content-based dedup (ops/dedup.py): collapse re-crawls of the same
+page to the newest snapshot, and roll the corpus up per host for
+crawl-health / domain-mix decisions.  Both operate on the input-hint
+shape ``(url, warc_ts, html, text, lang)``
+(``caterpillar_spark/sources/webtext.py``); the reference engine has
+no crawl layer — these extend it the way a training-data pipeline
+needs (SURVEY.md §6).
+
+Everything is JVM-side column algebra — the canonicalizer is a chain
+of ``regexp_replace`` over RE2-compatible patterns (no lookaround),
+so the DuckDB oracle runs semantically identical expressions.
+
+Scale notes (the 100 TB question for each):
+
+* :func:`canonical_url` — a narrow per-row map, zero shuffles; stays
+  inside whole-stage codegen.
+* :func:`url_snapshot_dedup` — ONE hash shuffle on ``canonical_url``;
+  the per-group window sees only the re-crawls of a single page
+  (bounded by crawl frequency, typically < 100), so there is no hot
+  key no matter how large the corpus.  ``row_number`` and the
+  ``n_snapshots`` count share the same partitioning → one Exchange.
+* :func:`host_stats` — one partial-agg shuffle keyed by host.  Giant
+  hosts (wikipedia.org at 10^8 pages) are fine: every aggregate here
+  is algebraic, so the map-side combine reduces each task's
+  contribution to one row per host before the shuffle.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["canonical_url", "host_of", "url_snapshot_dedup", "host_stats"]
+
+# scheme://authority prefix (up to the first /, ? or #)
+_PREFIX_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+# tracking query parameters, with their leading separator
+_TRACKING_RE = r"[?&](utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a crawled URL (a pure, deterministic map).
+
+    Rules, in order (each one a global RE2-safe ``regexp_replace``):
+
+    1. lowercase the ``scheme://authority`` prefix (path/query case
+       is significant on most origins and is preserved);
+    2. strip the ``#fragment``;
+    3. strip tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``) with their separator, then repair a query string
+       that lost its leading ``?`` (the ``^([^?]*)&`` pattern is
+       anchored, so the global replace fires at most once);
+    4. strip default ports (``https://h:443``, ``http://h:80``);
+    5. strip trailing slashes.
+
+    ``www.``-stripping and path-case folding are deliberately NOT
+    applied: they change page identity on enough real origins that a
+    crawl pipeline must opt in per-host.  The DuckDB oracle in
+    ``__spark_entry__.py`` mirrors every step.
+    """
+    prefix = F.regexp_extract(url, _PREFIX_RE, 0)
+    u = F.concat(F.lower(prefix), F.substr(url, F.length(prefix) + F.lit(1)))
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, _TRACKING_RE, "")
+    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443($|[/?#])", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80($|[/?#])", r"$1$2")
+    u = F.regexp_replace(u, r"/+$", "")
+    return u
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased hostname of a URL (port and userinfo excluded)."""
+    auth = F.lower(F.regexp_extract(url, _PREFIX_RE, 0))
+    return F.regexp_extract(auth, r"://(?:[^/@]*@)?([^/:?#@]+)", 1)
+
+
+def url_snapshot_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_break: Optional[str] = None,
+) -> DataFrame:
+    """Keep the newest crawl snapshot per canonical URL.
+
+    The standard first stage of a Common-Crawl curation pipeline: a
+    page captured in several crawls (or reachable under several
+    equivalent URLs) contributes exactly one row — the one with the
+    greatest ``ts_col``.  Ties break on ascending ``tie_break``
+    (default: the raw URL) so the result is deterministic.
+
+    Adds ``canonical_url`` and ``n_snapshots`` (how many raw rows
+    collapsed into this one — the re-crawl ratio per page, a useful
+    crawl-health signal) to the surviving rows.
+
+    One hash shuffle on ``canonical_url``; both window functions share
+    that partitioning, so Spark plans a single Exchange.
+    """
+    tie = tie_break or url_col
+    canon = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    w = Window.partitionBy("canonical_url")
+    ranked = canon.withColumn(
+        "_rn",
+        F.row_number().over(
+            w.orderBy(F.col(ts_col).desc(), F.col(tie).asc())
+        ),
+    ).withColumn("n_snapshots", F.count(F.lit(1)).over(w))
+    return ranked.where(F.col("_rn") == 1).drop("_rn")
+
+
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    lang_col: Optional[str] = "lang",
+    size_col: Optional[str] = None,
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Per-host crawl rollup over a web corpus.
+
+    Returns one row per hostname: raw document count, distinct
+    canonical pages (re-crawls collapsed), distinct languages, and —
+    when ``size_col`` is given — the mean document size.  This is the
+    table a domain-mix / blocklist decision reads; at 10^12 docs it is
+    one algebraic aggregation (``n_pages`` uses exact
+    ``countDistinct`` here; at extreme scale swap in
+    ``approx_count_distinct`` — same plan shape, documented slot-in).
+    """
+    base = df.withColumn("host", host_of(F.col(url_col))).withColumn(
+        "_canon", canonical_url(F.col(url_col))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_canon").alias("n_pages"),
+    ]
+    if lang_col is not None:
+        aggs.append(F.countDistinct(lang_col).alias("n_langs"))
+    if size_col is not None:
+        aggs.append(F.round(F.avg(size_col), 6).alias("mean_size"))
+    aggs.extend(extra_aggs)
+    return base.groupBy("host").agg(*aggs)

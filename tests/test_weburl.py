@@ -1,0 +1,122 @@
+"""URL-level curation ops: canonicalization, snapshot dedup, host rollup.
+
+Expected values are hand-computed; the cross-engine (DuckDB) check of
+the same operators runs through the driver oracles in
+``__spark_entry__.py`` (``url_snapshot_dedup`` / ``host_stats``).
+"""
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from caterpillar_spark.ops import (
+    canonical_url,
+    host_of,
+    host_stats,
+    url_snapshot_dedup,
+)
+
+UTC = dt.timezone.utc
+
+CANON_CASES = [
+    # lowercases scheme+authority, preserves path case
+    ("HTTPS://Site-1.Example.ORG/Page/9", "https://site-1.example.org/Page/9"),
+    # fragment stripped
+    ("https://a.org/p#section-2", "https://a.org/p"),
+    # tracking params stripped, first-param repair restores '?'
+    ("https://a.org/p?utm_source=feed&ref=2", "https://a.org/p?ref=2"),
+    # tracking param in the middle
+    ("https://a.org/p?ref=2&utm_medium=rss&x=1", "https://a.org/p?ref=2&x=1"),
+    # all params tracking -> bare path
+    ("https://a.org/p?utm_source=f&utm_medium=r", "https://a.org/p"),
+    # default ports
+    ("https://a.org:443/p", "https://a.org/p"),
+    ("http://a.org:80", "http://a.org"),
+    ("https://a.org:443", "https://a.org"),
+    # non-default port kept
+    ("https://a.org:8443/p", "https://a.org:8443/p"),
+    # trailing slashes
+    ("https://a.org/p/", "https://a.org/p"),
+    ("https://a.org/", "https://a.org"),
+    # everything at once
+    (
+        "HTTPS://A.ORG:443/Page/7/?utm_campaign=x#top",
+        "https://a.org/Page/7",
+    ),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame(
+        [(raw, want) for raw, want in CANON_CASES], ["raw", "want"]
+    ).withColumn("got", canonical_url(F.col("raw")))
+    bad = df.where(F.col("got") != F.col("want")).collect()
+    assert not bad, [(r.raw, r.got, r.want) for r in bad]
+
+
+def test_host_of(spark):
+    cases = [
+        ("https://User@Site.ORG:8443/p?q#f", "site.org"),
+        ("http://a.b.c.example.com/", "a.b.c.example.com"),
+    ]
+    df = spark.createDataFrame(cases, ["raw", "want"]).withColumn(
+        "got", host_of(F.col("raw"))
+    )
+    bad = df.where(F.col("got") != F.col("want")).collect()
+    assert not bad, [(r.raw, r.got, r.want) for r in bad]
+
+
+@pytest.fixture()
+def crawl(spark):
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h, tzinfo=UTC)
+
+    rows = [
+        # three captures of one page under equivalent URLs
+        (1, "https://a.org/p", ts(1), "en"),
+        (2, "https://a.org/p/", ts(3), "en"),
+        (3, "HTTPS://A.ORG/p?utm_source=x", ts(2), "de"),
+        # a second page on the same host
+        (4, "https://a.org/q", ts(1), "en"),
+        # another host, one capture
+        (5, "http://b.org:80/r", ts(5), "fr"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "url", "warc_ts", "lang"])
+
+
+def test_url_snapshot_dedup_keeps_newest(crawl):
+    out = url_snapshot_dedup(crawl).orderBy("canonical_url").collect()
+    assert [(r.canonical_url, r.doc_id, r.n_snapshots) for r in out] == [
+        ("http://b.org/r", 5, 1),
+        ("https://a.org/p", 2, 3),  # ts(3) is newest of the three
+        ("https://a.org/q", 4, 1),
+    ]
+
+
+def test_url_snapshot_dedup_tie_break(spark):
+    t = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [(1, "https://a.org/p", t), (2, "https://a.org/p/", t)]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "warc_ts"])
+    (r,) = url_snapshot_dedup(df).collect()
+    # equal timestamps -> smallest raw url wins (deterministic)
+    assert r.doc_id == 1 and r.n_snapshots == 2
+
+
+def test_url_snapshot_dedup_single_exchange(crawl):
+    plan = url_snapshot_dedup(crawl)._jdf.queryExecution().executedPlan().toString()
+    # row_number and the snapshot count share one hashpartitioning
+    assert plan.count("Exchange hashpartitioning(canonical_url") == 1
+
+
+def test_host_stats(crawl):
+    out = {
+        r.host: r
+        for r in host_stats(
+            crawl, lang_col="lang", size_col="doc_id"
+        ).collect()
+    }
+    a = out["a.org"]
+    assert (a.n_docs, a.n_pages, a.n_langs) == (4, 2, 2)
+    assert a.mean_size == pytest.approx(2.5)
+    b = out["b.org"]
+    assert (b.n_docs, b.n_pages, b.n_langs) == (1, 1, 1)
