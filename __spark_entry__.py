@@ -1029,6 +1029,22 @@ def q_url_snapshot_dedup(spark, sf_dir):
     return out.select("canonical_url", "doc_id", "n_snapshots")
 
 
+def q_host_filter(spark, sf_dir):
+    """Domain blocklist over the synthetic crawl: suffix-matching
+    (entry blocks itself + subdomains) via a zero-shuffle JVM
+    arrays_overlap filter (ops/weburl.py).  Blocks two of the twenty
+    source hosts; the oracle filters on the source column directly —
+    independent of the URL round-trip."""
+    from caterpillar_spark.ops import host_filter
+
+    out = host_filter(
+        _crawl(spark, sf_dir),
+        ["src1.example.org", "src2.example.org"],
+        mode="block",
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host crawl rollup: raw docs, distinct canonical pages,
     languages, mean size — the domain-mix decision table.  One
@@ -1131,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "significant_terms": q_significant_terms,
         "url_snapshot_dedup": q_url_snapshot_dedup,
+        "host_filter": q_host_filter,
         "host_stats": q_host_stats,
     }
 
@@ -2492,6 +2509,11 @@ SELECT canon AS canonical_url, doc_id, n_snapshots FROM (
            count(*) OVER (PARTITION BY canon) AS n_snapshots
     FROM crawl
 ) WHERE rn = 1
+""",
+        "host_filter": """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE source NOT IN ('src1', 'src2')
 """,
         "host_stats": """
 WITH crawl AS (

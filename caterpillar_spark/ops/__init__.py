@@ -48,6 +48,8 @@ from caterpillar_spark.ops.sampling import (
 from caterpillar_spark.ops.weburl import (
     canonical_url,
     host_of,
+    host_suffixes,
+    host_filter,
     url_snapshot_dedup,
     host_stats,
 )
@@ -86,6 +88,8 @@ __all__ = [
     "pack_sequences",
     "canonical_url",
     "host_of",
+    "host_suffixes",
+    "host_filter",
     "url_snapshot_dedup",
     "host_stats",
     "cosine_topk",

@@ -34,7 +34,14 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "host_of", "url_snapshot_dedup", "host_stats"]
+__all__ = [
+    "canonical_url",
+    "host_of",
+    "host_suffixes",
+    "host_filter",
+    "url_snapshot_dedup",
+    "host_stats",
+]
 
 # scheme://authority prefix (up to the first /, ? or #)
 _PREFIX_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
@@ -77,6 +84,95 @@ def host_of(url: Column) -> Column:
     """Lowercased hostname of a URL (port and userinfo excluded)."""
     auth = F.lower(F.regexp_extract(url, _PREFIX_RE, 0))
     return F.regexp_extract(auth, r"://(?:[^/@]*@)?([^/:?#@]+)", 1)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname, most-specific first.
+
+    ``a.b.example.org`` → ``[a.b.example.org, b.example.org,
+    example.org, org]``.  Bounded by the label count (realistically
+    ≤ ~10), so the array is tiny; everything is JVM higher-order
+    functions — no UDF, no shuffle.
+    """
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def host_filter(
+    df: DataFrame,
+    blocklist,
+    url_col: str = "url",
+    mode: str = "block",
+) -> DataFrame:
+    """Domain block/allow-list filter — the crawl-curation stage that
+    runs before any content look (CCNet/RefinedWeb pipelines drop
+    blocklisted domains first; an allowlist is the curated-sources
+    inverse).
+
+    An entry matches a document when it equals the URL's hostname OR
+    any registrable parent domain (``example.org`` blocks
+    ``a.b.example.org``); sibling domains never match.
+
+    ``blocklist`` is either
+
+    * a ``Sequence[str]`` — the common config-driven case: compiled to
+      a literal array and matched via ``arrays_overlap`` over
+      :func:`host_suffixes`, a narrow JVM filter with ZERO shuffles
+      and no join (the list rides inside the task closure); or
+    * a single-column ``DataFrame`` of hosts — for blocklists too big
+      to inline (millions of entries): the suffix array explodes
+      (bounded ×~labels) into a broadcast semi/anti join on the
+      entry — still no shuffle of the corpus side.
+
+    ``mode='block'`` keeps non-matching rows; ``mode='allow'`` keeps
+    matching rows.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    host = host_of(F.col(url_col))
+    if isinstance(blocklist, DataFrame):
+        (entry_col,) = blocklist.columns
+        entries = blocklist.select(
+            F.lower(F.col(entry_col)).alias("_hf_entry")
+        ).distinct()
+        # Resolve the list against the DISTINCT corpus hosts first
+        # (map-side-combined agg over unique hostnames — tiny next to
+        # the corpus), then broadcast the matched hosts back: the
+        # corpus itself pays one narrow map + one broadcast join, no
+        # shuffle.  Matched-host cardinality is bounded by the corpus'
+        # distinct hosts — broadcastable for any realistic blocklist.
+        hosts = df.select(host.alias("_hf_host")).distinct()
+        matched = (
+            hosts.select(
+                "_hf_host",
+                F.explode(host_suffixes(F.col("_hf_host"))).alias("_hf_one"),
+            )
+            .join(
+                F.broadcast(entries),
+                F.col("_hf_one") == F.col("_hf_entry"),
+                "left_semi",
+            )
+            .select("_hf_host")
+            .distinct()
+        )
+        return (
+            df.withColumn("_hf_host", host)
+            .join(
+                F.broadcast(matched),
+                "_hf_host",
+                "left_semi" if mode == "allow" else "left_anti",
+            )
+            .drop("_hf_host")
+        )
+    if not list(blocklist):
+        return df if mode == "block" else df.limit(0)
+    entries_lit = F.lit([h.lower() for h in blocklist])
+    hit = F.arrays_overlap(host_suffixes(host), entries_lit)
+    return df.where(hit if mode == "allow" else ~hit)
 
 
 def url_snapshot_dedup(

@@ -3,11 +3,18 @@
 --py-files`` entry that chains the corpus ops in the order a real
 pretraining pipeline runs them:
 
+    [domain blocklist] → [URL snapshot dedup] →
     quality annotate → exact dedup → near-dup (capped MinHash-LSH) +
     quality-aware survivor selection → [benchmark decontamination] →
     [line-level boilerplate removal] → [PII redaction] →
     [stratified source mixing] → [token-budget cut] →
     sequence-packing offsets
+
+The two crawl-side stages activate when the input carries a URL
+column (``--url-col``): ``--block-hosts`` drops blocklisted domains
+(suffix semantics, zero corpus shuffle), and ``--ts-col`` collapses
+re-crawl snapshots to the newest capture per canonical URL before any
+content is read.
 
     spark-submit --py-files dist/caterpillar_spark.zip jobs/curate_job.py \
         --input /path/documents.parquet --output /path/curated \
@@ -54,6 +61,14 @@ def main() -> int:
                     help="greedy cut to this many tokens (0 = no cut)")
     ap.add_argument("--seq-len", type=int, default=4096)
     ap.add_argument("--minhash-bucket-cap", type=int, default=64)
+    ap.add_argument("--url-col", default="", help="URL column enabling the "
+                    "crawl-side stages")
+    ap.add_argument("--ts-col", default="", help="capture-timestamp column: "
+                    "collapse re-crawls to the newest snapshot per "
+                    "canonical URL (needs --url-col)")
+    ap.add_argument("--block-hosts", default="", help="comma list of "
+                    "blocked domains OR a parquet path of hosts; matches "
+                    "the host and all subdomains (needs --url-col)")
     ap.add_argument("--cores", type=int, default=0)
     args = ap.parse_args()
 
@@ -96,6 +111,31 @@ def main() -> int:
     docs = spark.read.parquet(args.input)
     metrics["input_docs"] = docs.count()
     has_source = "source" in docs.columns
+
+    if (args.ts_col or args.block_hosts) and not args.url_col:
+        print("--ts-col/--block-hosts need --url-col", file=sys.stderr)
+        return 2
+
+    # ---- stage 0a: domain blocklist (crawl-side, before any content)
+    if args.block_hosts:
+        from caterpillar_spark.ops import host_filter
+
+        if args.block_hosts.endswith(".parquet") or "/" in args.block_hosts:
+            bl = spark.read.parquet(args.block_hosts)
+        else:
+            bl = [h for h in args.block_hosts.split(",") if h]
+        docs = host_filter(docs, bl, url_col=args.url_col, mode="block")
+        metrics["after_host_filter"] = docs.count()
+
+    # ---- stage 0b: URL snapshot dedup (newest capture per canonical
+    # page; one hash shuffle on the canonical URL)
+    if args.ts_col:
+        from caterpillar_spark.ops import url_snapshot_dedup
+
+        docs = url_snapshot_dedup(
+            docs, url_col=args.url_col, ts_col=args.ts_col
+        ).drop("canonical_url", "n_snapshots")
+        metrics["after_url_dedup"] = docs.count()
 
     # ---- stage 1: annotate token counts + quality score (used as the
     # dedup survivor criterion and the budget priority)

@@ -11,8 +11,10 @@ from pyspark.sql import functions as F
 
 from caterpillar_spark.ops import (
     canonical_url,
+    host_filter,
     host_of,
     host_stats,
+    host_suffixes,
     url_snapshot_dedup,
 )
 
@@ -106,6 +108,63 @@ def test_url_snapshot_dedup_single_exchange(crawl):
     plan = url_snapshot_dedup(crawl)._jdf.queryExecution().executedPlan().toString()
     # row_number and the snapshot count share one hashpartitioning
     assert plan.count("Exchange hashpartitioning(canonical_url") == 1
+
+
+def test_host_suffixes(spark):
+    (r,) = (
+        spark.createDataFrame([("a.b.example.org",)], ["h"])
+        .select(host_suffixes(F.col("h")).alias("s"))
+        .collect()
+    )
+    assert r.s == ["a.b.example.org", "b.example.org", "example.org", "org"]
+
+
+@pytest.fixture()
+def hosted(spark):
+    rows = [
+        (1, "https://news.bad.example/x"),   # subdomain of blocked domain
+        (2, "https://bad.example/y"),        # exact blocked host
+        (3, "https://notbad.example/z"),     # sibling: must NOT match
+        (4, "https://ok.org/w"),
+        (5, "https://Sub.OK.org/v"),         # case-folded suffix match
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "url"])
+
+
+def test_host_filter_block_literal(hosted):
+    out = host_filter(hosted, ["bad.example"], mode="block")
+    assert sorted(r.doc_id for r in out.collect()) == [3, 4, 5]
+
+
+def test_host_filter_allow_literal(hosted):
+    out = host_filter(hosted, ["OK.org"], mode="allow")
+    assert sorted(r.doc_id for r in out.collect()) == [4, 5]
+
+
+def test_host_filter_literal_no_shuffle(hosted):
+    plan = (
+        host_filter(hosted, ["bad.example"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_host_filter_dataframe_blocklist(hosted, spark):
+    bl = spark.createDataFrame([("bad.example",)], ["host"])
+    out = host_filter(hosted, bl, mode="block")
+    assert sorted(r.doc_id for r in out.collect()) == [3, 4, 5]
+    allow = host_filter(hosted, bl, mode="allow")
+    assert sorted(r.doc_id for r in allow.collect()) == [1, 2]
+    # the corpus side joins the resolved hosts via broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_host_filter_empty_and_bad_mode(hosted):
+    assert host_filter(hosted, [], mode="block").count() == 5
+    assert host_filter(hosted, [], mode="allow").count() == 0
+    with pytest.raises(ValueError):
+        host_filter(hosted, ["x"], mode="keep")
 
 
 def test_host_stats(crawl):
