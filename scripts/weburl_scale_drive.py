@@ -115,6 +115,22 @@ def main() -> int:
         crawl, lang_col="lang", size_col="n_chars"
     ).agg(F.count(F.lit(1)), F.sum("n_docs")).collect())
 
+    from caterpillar_spark.ops import host_filter
+
+    blocked = [f"h{i}.example.org" for i in range(0, 2000, 2)]
+    drive("host_filter_1k", lambda: host_filter(
+        crawl, blocked
+    ).agg(F.count(F.lit(1))).collect())
+
+    bl_df = spark.createDataFrame([(h,) for h in blocked], ["host"])
+    drive("host_filter_1k_df", lambda: host_filter(
+        crawl, bl_df
+    ).agg(F.count(F.lit(1))).collect())
+
+    drive("host_filter_8", lambda: host_filter(
+        crawl, blocked[:8]
+    ).agg(F.count(F.lit(1))).collect())
+
     print(json.dumps({"summary": results, "n_rows": n, "cores": args.cores}))
     spark.stop()
     return 0

@@ -160,6 +160,16 @@ def test_host_filter_dataframe_blocklist(hosted, spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_host_filter_large_literal_routes_to_broadcast(hosted):
+    # >32 literal entries auto-route through the distinct-host +
+    # broadcast path (3.5x the per-row arrays_overlap at 2M rows)
+    bl = ["bad.example"] + [f"noop{i}.test" for i in range(40)]
+    out = host_filter(hosted, bl, mode="block")
+    assert sorted(r.doc_id for r in out.collect()) == [3, 4, 5]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_host_filter_empty_and_bad_mode(hosted):
     assert host_filter(hosted, [], mode="block").count() == 5
     assert host_filter(hosted, [], mode="allow").count() == 0
