@@ -1056,6 +1056,69 @@ def q_host_stats(spark, sf_dir):
     ).select("host", "n_docs", "n_pages", "n_langs", "mean_size")
 
 
+def _linkhtml(spark, sf_dir):
+    """Deterministic link-bearing HTML relation derived from
+    ``documents`` (the driver tables carry no HTML).
+
+    Each page's HTML embeds three anchors built column-algebraically
+    from doc_id: one absolute cross-host link (target host
+    ``src{(doc_id*7+3) % 20}`` — gcd(7,20)=1 so targets sweep all 20
+    hosts), one site-relative path (resolves to the page's own host —
+    a self-loop at host granularity), and one ``mailto:`` (dropped by
+    extraction).  The DuckDB oracles construct the resolved link set
+    straight from this formula, independently checking the regex
+    extraction + resolution in ``ops/linkgraph.py``.
+    """
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        (F.col("doc_id") % 200).cast("string"),
+    )
+    html = F.concat(
+        F.lit('<p>x <a href="https://src'),
+        ((F.col("doc_id") * 7 + 3) % 20).cast("string"),
+        F.lit(".example.org/docs/"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit('">t</a> y <a href="/docs/'),
+        ((F.col("doc_id") * 3 + 1) % 41).cast("string"),
+        F.lit('">u</a> <a href="mailto:x@y.z">m</a></p>'),
+    ).cast("binary")
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_extract_links(spark, sf_dir):
+    """Outlink extraction: one JVM regexp_extract_all + explode over
+    stored HTML bytes, absolute links passed through and site-absolute
+    paths resolved against the page origin (ops/linkgraph.py)."""
+    from caterpillar_spark.ops import extract_links
+
+    return extract_links(_linkhtml(spark, sf_dir))
+
+
+def q_host_degree(spark, sf_dir):
+    """Host-graph degree table over extracted links: host-pair edge
+    aggregation (self-loops dropped) + in/out rollup — the crawl-health
+    / spam-heuristic signal (ops/linkgraph.py)."""
+    from caterpillar_spark.ops import extract_links, host_degree, host_link_edges
+
+    edges = host_link_edges(extract_links(_linkhtml(spark, sf_dir)))
+    return host_degree(edges)
+
+
+def q_pagerank(spark, sf_dir):
+    """Weighted host-level PageRank, 5 fixed power iterations — the
+    crawl-prioritization / domain-authority score.  Every host in this
+    synthetic graph has outlinks, so the dangling term is zero and the
+    unrolled-SQL oracle reproduces the iteration exactly; the dangling
+    path is covered by tests/test_linkgraph.py against a numpy
+    reference (ops/linkgraph.py)."""
+    from caterpillar_spark.ops import extract_links, host_link_edges, pagerank
+
+    edges = host_link_edges(extract_links(_linkhtml(spark, sf_dir)))
+    pr = pagerank(edges, iterations=5)
+    return pr.select("host", F.round("rank", 6).alias("rank"))
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 
@@ -1149,6 +1212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_snapshot_dedup": q_url_snapshot_dedup,
         "host_filter": q_host_filter,
         "host_stats": q_host_stats,
+        "extract_links": q_extract_links,
+        "host_degree": q_host_degree,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1197,6 +1263,56 @@ WHERE t.term IN ({tlist})
 GROUP BY t.doc_id
 {extra_having}
 """
+
+
+# Host-level edge list from the _linkhtml() synthesis formula: only the
+# absolute anchor can cross hosts; the site-relative anchor is always a
+# host self-loop (dropped by host_link_edges) and mailto: never extracts.
+_LINK_EDGES_SQL = """links AS (
+    SELECT source || '.example.org' AS src_host,
+           'src' || ((doc_id * 7 + 3) % 20) || '.example.org' AS dst_host
+    FROM documents
+),
+edges AS (
+    SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+    FROM links WHERE src_host <> dst_host
+    GROUP BY src_host, dst_host
+)"""
+
+
+def _pagerank_sql(iterations: int, damping: float) -> str:
+    """Unrolled fixed-iteration PageRank over the _linkhtml() host
+    graph — one CTE per power iteration, mirroring ops/linkgraph.py's
+    update rank'(v) = (1-d)/n + d*sum_in(p*rank).  The graph has no
+    dangling hosts by construction, so the dangling-mass term is zero
+    on both sides (the Spark side computes it and gets 0.0)."""
+    parts = [
+        f"WITH {_LINK_EDGES_SQL},",
+        """nodes AS (
+    SELECT DISTINCT src_host AS host FROM edges
+    UNION
+    SELECT DISTINCT dst_host FROM edges
+),
+c AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+trans AS (
+    SELECT src_host, dst_host,
+           n_links::DOUBLE / sum(n_links) OVER (PARTITION BY src_host) AS p
+    FROM edges
+),
+r0 AS (SELECT host, (SELECT 1.0 / n FROM c) AS rank FROM nodes),""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f"""r{k} AS (
+    SELECT nd.host,
+           (SELECT (1.0 - {damping}) / n FROM c)
+             + {damping} * coalesce(sum(t.p * r.rank), 0.0) AS rank
+    FROM nodes nd
+    LEFT JOIN trans t ON t.dst_host = nd.host
+    LEFT JOIN r{k - 1} r ON r.host = t.src_host
+    GROUP BY nd.host
+),""")
+    body = "\n".join(parts).rstrip(",\n") + "\n"
+    return body + f"SELECT host, round(rank, 6) AS rank FROM r{iterations}\n"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2531,6 +2647,42 @@ SELECT host,
        round(avg(n_chars), 6) AS mean_size
 FROM crawl GROUP BY host
 """,
+        # Link-graph oracles: resolved links / host edges are computed
+        # straight from the _linkhtml() synthesis formula (the
+        # site-relative anchor resolves to the page's own host and the
+        # mailto: is dropped), independently checking the regex
+        # extraction + resolution in ops/linkgraph.py.
+        "extract_links": """
+SELECT 'https://' || source || '.example.org/docs/' || (doc_id % 200) AS url,
+       'https://src' || ((doc_id * 7 + 3) % 20) || '.example.org/docs/'
+           || (doc_id % 37) AS dst_url
+FROM documents
+UNION ALL
+SELECT 'https://' || source || '.example.org/docs/' || (doc_id % 200) AS url,
+       'https://' || source || '.example.org/docs/'
+           || ((doc_id * 3 + 1) % 41) AS dst_url
+FROM documents
+""",
+        "host_degree": f"""
+WITH {_LINK_EDGES_SQL},
+outd AS (
+    SELECT src_host AS host, count(*)::BIGINT AS out_hosts,
+           sum(n_links)::BIGINT AS out_links
+    FROM edges GROUP BY src_host
+),
+ind AS (
+    SELECT dst_host AS host, count(*)::BIGINT AS in_hosts,
+           sum(n_links)::BIGINT AS in_links
+    FROM edges GROUP BY dst_host
+)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(o.out_hosts, 0)::BIGINT AS out_hosts,
+       coalesce(o.out_links, 0)::BIGINT AS out_links,
+       coalesce(i.in_hosts, 0)::BIGINT AS in_hosts,
+       coalesce(i.in_links, 0)::BIGINT AS in_links
+FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
+""",
+        "pagerank": _pagerank_sql(iterations=5, damping=0.85),
     }
 
 

@@ -311,6 +311,28 @@ def main() -> None:
         4,
     )
 
+    # Link-graph path (r5): outlink extraction from stored HTML bytes ->
+    # host edge aggregation -> 5 power iterations of weighted PageRank.
+    # Generation is excluded (test-harness artifact); the timed span is
+    # the whole serving path a crawl-prioritization job would run.
+    from caterpillar_spark.ops import extract_links, host_link_edges, pagerank
+    from caterpillar_spark.sources.webtext import synthetic_webtext
+
+    web = synthetic_webtext(spark, n_docs=n_docs, seed=7).persist()
+    web.count()
+    queries["linkgraph_pagerank"] = round(
+        bench_query(
+            lambda: run(
+                pagerank(
+                    host_link_edges(extract_links(web)), iterations=5
+                )
+            ),
+            warmups=0, reps=1,
+        ),
+        4,
+    )
+    web.unpersist()
+
     total = round(sum(queries.values()), 4)
     out = {
         "metric": "index-build docs/sec + BM25 top-10 p50 (caterpillar_spark)",

@@ -53,6 +53,12 @@ from caterpillar_spark.ops.weburl import (
     url_snapshot_dedup,
     host_stats,
 )
+from caterpillar_spark.ops.linkgraph import (
+    extract_links,
+    host_link_edges,
+    host_degree,
+    pagerank,
+)
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
     embedding_lsh_candidates,
@@ -92,6 +98,10 @@ __all__ = [
     "host_filter",
     "url_snapshot_dedup",
     "host_stats",
+    "extract_links",
+    "host_link_edges",
+    "host_degree",
+    "pagerank",
     "cosine_topk",
     "embedding_lsh_candidates",
     "embedding_near_dups",

@@ -1,0 +1,224 @@
+"""Link-graph operators over crawled web corpora.
+
+The hyperlink structure is the other half of a web corpus next to the
+text: outlink extraction feeds frontier expansion, host-level degree
+feeds crawl-health and spam heuristics, and PageRank over the host
+graph is the classic crawl-prioritization / domain-authority signal.
+The reference engine has no crawl layer — these extend it the way a
+web-scale training-data pipeline needs (SURVEY.md §8), composing with
+``ops/weburl.py`` (host extraction, blocklists) and the input-hint
+shape from ``sources/webtext.py``.
+
+Scale notes (the 100 TB question for each):
+
+* :func:`extract_links` — one narrow JVM pass per document
+  (``regexp_extract_all`` + ``explode``): no UDF, no shuffle; output
+  is bounded by total anchor count.
+* :func:`host_link_edges` / :func:`host_degree` — host-keyed partial
+  aggregations; giant hosts are fine because every aggregate is
+  algebraic (map-side combined).
+* :func:`pagerank` — the standard power iteration: one shuffle per
+  round (contributions keyed by dst), ranks re-keyed by node id;
+  lineage is truncated per round with ``localCheckpoint`` exactly like
+  ``ops/dedup.py::near_dup_clusters`` (caching alone grows ~2^rounds
+  plan leaves).  Dangling mass is an O(1) driver scalar per round.
+  State per round is one (node, rank) row per node — at 10^8 hosts
+  that is a few GB spread over the cluster, not a driver concern.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from caterpillar_spark.ops.weburl import host_of
+
+__all__ = [
+    "extract_links",
+    "host_link_edges",
+    "host_degree",
+    "pagerank",
+]
+
+# scheme://authority of the source page, for resolving absolute paths
+_ORIGIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per hyperlink: ``(url, dst_url)``.
+
+    Pulls every ``href="..."`` attribute out of the stored HTML (a
+    binary column per the input-hint shape) with a single JVM
+    ``regexp_extract_all`` — no UDF, no Python row path.  Resolution:
+
+    * absolute ``http(s)://`` hrefs pass through;
+    * site-absolute paths (``/docs/x``) resolve against the source
+      page's scheme+authority;
+    * everything else (fragments, ``mailto:``, ``javascript:``,
+      directory-relative paths — which need full RFC 3986 dot-segment
+      handling) is dropped.  Documented subset: crawl frontiers
+      overwhelmingly use absolute + site-absolute links.
+    """
+    html_str = F.col(html_col).cast("string")
+    hrefs = F.expr(
+        f"regexp_extract_all(cast({html_col} as string),"
+        " 'href=\"([^\"]*)\"', 1)"
+    )
+    origin = F.regexp_extract(F.col(url_col), _ORIGIN_RE, 0)
+    raw = df.select(
+        F.col(url_col).alias("url"),
+        origin.alias("_origin"),
+        F.explode(hrefs).alias("_href"),
+    )
+    dst = (
+        F.when(F.col("_href").rlike("^https?://"), F.col("_href"))
+        .when(
+            F.col("_href").startswith("/"),
+            F.concat(F.col("_origin"), F.col("_href")),
+        )
+    )
+    return (
+        raw.select("url", dst.alias("dst_url"))
+        .where(F.col("dst_url").isNotNull())
+    )
+
+
+def host_link_edges(
+    links: DataFrame,
+    src_col: str = "url",
+    dst_col: str = "dst_url",
+    keep_self: bool = False,
+) -> DataFrame:
+    """Host-level edge list: ``(src_host, dst_host, n_links)``.
+
+    One host-pair-keyed partial aggregation.  Intra-host navigation
+    links (self-loops) are dropped by default — they dominate raw
+    counts and carry no cross-site signal.
+    """
+    edges = links.select(
+        host_of(F.col(src_col)).alias("src_host"),
+        host_of(F.col(dst_col)).alias("dst_host"),
+    )
+    if not keep_self:
+        edges = edges.where(F.col("src_host") != F.col("dst_host"))
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def host_degree(edges: DataFrame) -> DataFrame:
+    """Per-host degree rollup over a host edge list
+    (``src_host, dst_host, n_links``): distinct out/in neighbour hosts
+    and total out/in link counts.  Two algebraic aggs + one full outer
+    join, all keyed by host.
+    """
+    out_deg = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_hosts"),
+        F.sum("n_links").alias("out_links"),
+    )
+    in_deg = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_hosts"),
+        F.sum("n_links").alias("in_links"),
+    )
+    return (
+        out_deg.join(in_deg, "host", "full_outer")
+        .na.fill(0, ["out_hosts", "out_links", "in_hosts", "in_links"])
+        .select("host", "out_hosts", "out_links", "in_hosts", "in_links")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: Optional[str] = "n_links",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Weighted PageRank over an edge list — fixed-iteration power
+    method, the crawl-prioritization / domain-authority signal.
+
+    Per iteration: ``rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)·w(u,v)/
+    W_out(u) + dangling/N)`` where dangling is the rank mass sitting on
+    nodes with no outlinks (redistributed uniformly, the standard
+    treatment).  Returns ``(host, rank)``; ranks sum to 1.
+
+    Execution shape: the edge relation is normalized ONCE to
+    per-edge transition probabilities and persisted; each round is one
+    shuffle (contributions hash-keyed by dst) plus a broadcast of the
+    two O(1) scalars (dangling mass via one aggregate).  Ranks are
+    ``localCheckpoint``-ed per round to truncate lineage (same
+    discipline as near_dup_clusters).  Fixed iteration count keeps the
+    result a pure function of the input — resume/backfill stable, and
+    exactly reproducible by the unrolled-SQL oracle.
+    """
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    # per-edge transition probability, computed once
+    out_w = e.groupBy("src").agg(F.sum("w").alias("_wout"))
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("_wout")).alias("p"))
+        .persist()
+    )
+    trans.count()
+    has_out = out_w.select(F.col("src").alias("host")).distinct()
+    dangling_nodes = nodes.join(has_out, "host", "left_anti").persist()
+    # one up-front count: when the graph has no dangling nodes (the
+    # common host-graph case) every per-iteration dangling-mass job —
+    # a driver round-trip per round — is skipped outright
+    n_dangling = dangling_nodes.count()
+
+    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        dm = 0.0
+        if n_dangling:
+            dm = (
+                dangling_nodes.join(ranks, "host")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["host"])
+            .select(F.col("dst").alias("host"),
+                    (F.col("p") * F.col("rank")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dm / n
+        ranks = (
+            nodes.join(contrib, "host", "left")
+            .select(
+                "host",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    trans.unpersist()
+    dangling_nodes.unpersist()
+    return ranks

@@ -77,15 +77,26 @@ _EPOCH = np.datetime64("2025-01-01T00:00:00")
 
 
 def _gen_doc(seed: int, i: int):
-    """One deterministic document: (url, warc_ts, html, text, lang)."""
+    """One deterministic document: (url, warc_ts, html, text, lang).
+
+    In-content outlinks: a deterministic subset of words is wrapped in
+    ``<a href>`` anchors pointing at other synthetic pages (Zipf-hot
+    targets — low site ids collect most inlinks, like real crawl
+    graphs).  Anchors wrap EXISTING words, so tag-stripping extraction
+    stays byte-identical to the ``text`` column (the input_hint
+    invariant); ~1/4 of hrefs are site-relative paths to exercise link
+    resolution.
+    """
     rng = np.random.default_rng([seed, i])
     lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
     head = _HEAD[lang]
     n_paras = int(rng.integers(1, 4))
     paras = []
+    html_paras = []
     for _ in range(n_paras):
         n_sents = int(rng.integers(1, 6))
         sents = []
+        html_sents = []
         for _ in range(n_sents):
             n_words = int(rng.integers(4, 14))
             words = []
@@ -93,12 +104,28 @@ def _gen_doc(seed: int, i: int):
                 # Zipf-skewed draw: head words are hot, tail is long.
                 r = min(int(rng.zipf(1.35)) - 1, len(head) + _TAIL_SIZE - 1)
                 words.append(head[r] if r < len(head) else f"term{r - len(head)}")
-            sent = " ".join(words)
-            sents.append(sent[0].upper() + sent[1:] + ".")
+            words[0] = words[0][0].upper() + words[0][1:]
+            words[-1] = words[-1] + "."
+            html_words = []
+            for w in words:
+                ew = _htmlmod.escape(w)
+                if rng.random() < 0.08:
+                    # Zipf-hot link target; occasionally site-relative
+                    site = min(int(rng.zipf(1.5)) - 1, 996)
+                    page = int(rng.integers(0, 100_000))
+                    if rng.random() < 0.25:
+                        href = f"/page/{page}"
+                    else:
+                        href = f"https://site-{site}.example.org/page/{page}"
+                    ew = f'<a href="{href}">{ew}</a>'
+                html_words.append(ew)
+            sents.append(" ".join(words))
+            html_sents.append(" ".join(html_words))
         paras.append(" ".join(sents))
+        html_paras.append(" ".join(html_sents))
     text = "\n\n".join(paras)
     url = f"https://site-{i % 997}.example.org/page/{i}"
-    body = "".join(f"<p>{_htmlmod.escape(p)}</p>" for p in paras)
+    body = "".join(f"<p>{p}</p>" for p in html_paras)
     html = (
         f"<html><head><title>{_htmlmod.escape(url)}</title>"
         f'<script>var x={i};</script></head>'
