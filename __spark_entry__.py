@@ -1079,9 +1079,13 @@ def _linkhtml(spark, sf_dir):
         ((F.col("doc_id") * 7 + 3) % 20).cast("string"),
         F.lit(".example.org/docs/"),
         (F.col("doc_id") % 37).cast("string"),
-        F.lit('">t</a> y <a href="/docs/'),
+        F.lit('">t'),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('</a> y <a href="/docs/'),
         ((F.col("doc_id") * 3 + 1) % 41).cast("string"),
-        F.lit('">u</a> <a href="mailto:x@y.z">m</a></p>'),
+        F.lit('">u'),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit('</a> <a href="mailto:x@y.z">m</a></p>'),
     ).cast("binary")
     return docs.select(url.alias("url"), html.alias("html"))
 
@@ -1103,6 +1107,28 @@ def q_host_degree(spark, sf_dir):
 
     edges = host_link_edges(extract_links(_linkhtml(spark, sf_dir)))
     return host_degree(edges)
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Hyperlinks WITH their visible anchor text — the incoming-
+    anchor-text ranking signal.  One JVM pass (two regexp_extract_all
+    groups zipped positionally); the oracle rebuilds (dst, text) pairs
+    straight from the synthesis formula (ops/linkgraph.py)."""
+    from caterpillar_spark.ops import extract_anchor_texts
+
+    return extract_anchor_texts(_linkhtml(spark, sf_dir))
+
+
+def q_anchor_rollup(spark, sf_dir):
+    """Per-target incoming anchor-text field with the hot-page star
+    cap: n_anchors counts ALL inlinks (algebraic, pre-cap), anchor_text
+    keeps the md5-deterministic top-5 texts via the two-stage salted
+    cap — exact vs the single-window form, every task bounded
+    (ops/linkgraph.py)."""
+    from caterpillar_spark.ops import anchor_text_rollup, extract_anchor_texts
+
+    anchors = extract_anchor_texts(_linkhtml(spark, sf_dir))
+    return anchor_text_rollup(anchors, max_anchors_per_target=5)
 
 
 def q_pagerank(spark, sf_dir):
@@ -1213,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_filter": q_host_filter,
         "host_stats": q_host_stats,
         "extract_links": q_extract_links,
+        "anchor_texts": q_anchor_texts,
+        "anchor_rollup": q_anchor_rollup,
         "host_degree": q_host_degree,
         "pagerank": q_pagerank,
     }
@@ -2683,6 +2711,55 @@ SELECT coalesce(o.host, i.host) AS host,
 FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
 """,
         "pagerank": _pagerank_sql(iterations=5, damping=0.85),
+        "anchor_texts": """
+SELECT 'https://' || source || '.example.org/docs/' || (doc_id % 200) AS url,
+       'https://src' || ((doc_id * 7 + 3) % 20) || '.example.org/docs/'
+           || (doc_id % 37) AS dst_url,
+       't' || (doc_id % 13) AS anchor_text
+FROM documents
+UNION ALL
+SELECT 'https://' || source || '.example.org/docs/' || (doc_id % 200) AS url,
+       'https://' || source || '.example.org/docs/'
+           || ((doc_id * 3 + 1) % 41) AS dst_url,
+       'u' || (doc_id % 11) AS anchor_text
+FROM documents
+""",
+        # Mirrors anchor_text_rollup's md5-deterministic order: the cap
+        # keeps the 5 smallest (md5(url||text), url) rows per target,
+        # and the joined field is ordered by (md5, text) — identical to
+        # Spark's array_sort over (key, text) structs.
+        "anchor_rollup": """
+WITH anchors AS (
+    SELECT 'https://' || source || '.example.org/docs/' || (doc_id % 200) AS url,
+           'https://src' || ((doc_id * 7 + 3) % 20) || '.example.org/docs/'
+               || (doc_id % 37) AS dst_url,
+           't' || (doc_id % 13) AS anchor_text
+    FROM documents
+    UNION ALL
+    SELECT 'https://' || source || '.example.org/docs/' || (doc_id % 200),
+           'https://' || source || '.example.org/docs/'
+               || ((doc_id * 3 + 1) % 41),
+           'u' || (doc_id % 11)
+    FROM documents
+),
+counts AS (
+    SELECT dst_url, count(*)::BIGINT AS n_anchors FROM anchors GROUP BY dst_url
+),
+capped AS (
+    SELECT dst_url, anchor_text, md5(url || anchor_text) AS k
+    FROM anchors
+    QUALIFY row_number() OVER (
+        PARTITION BY dst_url ORDER BY md5(url || anchor_text), url
+    ) <= 5
+),
+joined AS (
+    SELECT dst_url,
+           string_agg(anchor_text, ' ' ORDER BY k, anchor_text) AS anchor_text
+    FROM capped GROUP BY dst_url
+)
+SELECT c.dst_url, c.n_anchors, j.anchor_text
+FROM counts c JOIN joined j ON c.dst_url = j.dst_url
+""",
     }
 
 

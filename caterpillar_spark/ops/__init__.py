@@ -55,6 +55,8 @@ from caterpillar_spark.ops.weburl import (
 )
 from caterpillar_spark.ops.linkgraph import (
     extract_links,
+    extract_anchor_texts,
+    anchor_text_rollup,
     host_link_edges,
     host_degree,
     pagerank,
@@ -99,6 +101,8 @@ __all__ = [
     "url_snapshot_dedup",
     "host_stats",
     "extract_links",
+    "extract_anchor_texts",
+    "anchor_text_rollup",
     "host_link_edges",
     "host_degree",
     "pagerank",

@@ -35,6 +35,8 @@ from caterpillar_spark.ops.weburl import host_of
 
 __all__ = [
     "extract_links",
+    "extract_anchor_texts",
+    "anchor_text_rollup",
     "host_link_edges",
     "host_degree",
     "pagerank",
@@ -84,6 +86,111 @@ def extract_links(
     return (
         raw.select("url", dst.alias("dst_url"))
         .where(F.col("dst_url").isNotNull())
+    )
+
+
+_ANCHOR_RE = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+
+def _resolve_dst(href: Column, origin: Column) -> Column:
+    """Absolute http(s) hrefs pass through; site-absolute paths resolve
+    against the page's scheme+authority; everything else is NULL."""
+    return (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("/"), F.concat(origin, href))
+    )
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per hyperlink WITH its visible anchor text:
+    ``(url, dst_url, anchor_text)`` — the classic web-ranking signal
+    (incoming anchor text describes the target better than the target
+    describes itself).
+
+    Same single JVM pass and resolution rules as :func:`extract_links`;
+    the href and text groups come from two ``regexp_extract_all`` calls
+    over the same pattern (identical match set, so ``arrays_zip`` pairs
+    them positionally).  Anchors with empty visible text are kept
+    (their text is ``''``) — the caller decides.
+    """
+    h = f"cast({html_col} as string)"
+    hrefs = F.expr(f"regexp_extract_all({h}, '{_ANCHOR_RE}', 1)")
+    texts = F.expr(f"regexp_extract_all({h}, '{_ANCHOR_RE}', 2)")
+    origin = F.regexp_extract(F.col(url_col), _ORIGIN_RE, 0)
+    raw = df.select(
+        F.col(url_col).alias("url"),
+        origin.alias("_origin"),
+        F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("txt"))).alias("_a"),
+    )
+    dst = _resolve_dst(F.col("_a.href"), F.col("_origin"))
+    return (
+        raw.select(
+            "url", dst.alias("dst_url"), F.col("_a.txt").alias("anchor_text")
+        )
+        .where(F.col("dst_url").isNotNull())
+    )
+
+
+def anchor_text_rollup(
+    anchors: DataFrame,
+    max_anchors_per_target: Optional[int] = None,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-target incoming-anchor-text surface:
+    ``(dst_url, n_anchors, anchor_text)`` where ``anchor_text`` is the
+    space-joined incoming texts in a deterministic md5 order —
+    partition-layout-independent, so backfills reproduce bit-identical
+    fields.  ``n_anchors`` always counts ALL inlinks (pre-cap).
+
+    Scale: a hot page (think a homepage with 10^9 inlinks) must not
+    funnel its whole inlink set through one reducer.  With
+    ``max_anchors_per_target`` = B the cap is applied in two stages:
+    first top-B per (dst, salt-of-src) bucket, then top-B of the
+    surviving ≤ B·salt_buckets rows — exact (the global md5-top-B is
+    contained in the union of per-salt top-Bs) and every task is
+    bounded.  The pre-cap count stays algebraic (a partial agg, no
+    skew).  Uncapped, the rollup is a single dst-keyed window + agg.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("", F.col("url"), F.col("anchor_text")))
+    a = anchors.select("url", "dst_url", "anchor_text", key.alias("_k"))
+
+    counts = a.groupBy("dst_url").agg(F.count(F.lit(1)).alias("n_anchors"))
+
+    if max_anchors_per_target is not None:
+        b = max_anchors_per_target
+        salted = a.withColumn(
+            "_salt", F.abs(F.xxhash64("url", "anchor_text")) % salt_buckets
+        )
+        w1 = Window.partitionBy("dst_url", "_salt").orderBy("_k", "url")
+        a = (
+            salted.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= b)
+            .drop("_rn", "_salt")
+        )
+        w2 = Window.partitionBy("dst_url").orderBy("_k", "url")
+        a = (
+            a.withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") <= b)
+            .drop("_rn")
+        )
+    # Ordered aggregation via listagg WITHIN GROUP: the sort is part of
+    # the aggregate's contract and mirrors the SQL oracle's
+    # string_agg(... ORDER BY ...) one-to-one (an equivalent
+    # array_sort-over-collect_list formulation works too; pytest pins
+    # the order against a Python-side md5 sort either way).
+    joined = a.groupBy("dst_url").agg(
+        F.expr(
+            "listagg(anchor_text, ' ') WITHIN GROUP (ORDER BY _k, anchor_text)"
+        ).alias("anchor_text")
+    )
+    return counts.join(joined, "dst_url").select(
+        "dst_url", "n_anchors", "anchor_text"
     )
 
 

@@ -125,6 +125,21 @@ def main() -> int:
         F.count(F.lit(1))
     ).collect())
 
+    from caterpillar_spark.ops import anchor_text_rollup, extract_anchor_texts
+
+    drive("extract_anchor_texts", lambda: extract_anchor_texts(pages).agg(
+        F.count(F.lit(1))
+    ).collect())
+
+    # the 97-host hot head concentrates inlinks: the capped rollup's
+    # salted two-stage top-B is exactly the skew path under test
+    anchors = extract_anchor_texts(pages).persist()
+    anchors.count()
+    drive("anchor_rollup_cap64", lambda: anchor_text_rollup(
+        anchors, max_anchors_per_target=64
+    ).agg(F.count(F.lit(1)), F.sum("n_anchors")).collect(), reps=max(1, args.reps - 1))
+    anchors.unpersist()
+
     links = extract_links(pages)
     drive("host_link_edges", lambda: host_link_edges(links).agg(
         F.count(F.lit(1)), F.sum("n_links")
