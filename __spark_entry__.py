@@ -2726,8 +2726,8 @@ FROM documents
 """,
         # Mirrors anchor_text_rollup's md5-deterministic order: the cap
         # keeps the 5 smallest (md5(url||text), url) rows per target,
-        # and the joined field is ordered by (md5, text) — identical to
-        # Spark's array_sort over (key, text) structs.
+        # and string_agg's ORDER BY (md5, text) is the exact analog of
+        # Spark's listagg WITHIN GROUP ordering.
         "anchor_rollup": """
 WITH anchors AS (
     SELECT 'https://' || source || '.example.org/docs/' || (doc_id % 200) AS url,
