@@ -1145,6 +1145,64 @@ def q_pagerank(spark, sf_dir):
     return pr.select("host", F.round("rank", 6).alias("rank"))
 
 
+def q_hits_scores(spark, sf_dir):
+    """Kleinberg HITS hub/authority scores over the synthetic host
+    graph, 5 fixed iterations with L2 normalization — the other classic
+    link-analysis signal next to PageRank (ops/linkgraph.py)."""
+    from caterpillar_spark.ops import extract_links, hits, host_link_edges
+
+    edges = host_link_edges(extract_links(_linkhtml(spark, sf_dir)))
+    out = hits(edges, iterations=5)
+    return out.select(
+        "host",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def q_authority_topk(spark, sf_dir):
+    """Domain-authority re-ranking — the rank-then-rerank web-search
+    pattern: BM25 document scores over the FULL match set fused with
+    the host-level PageRank prior (boosted = score·(1 + pr/max_pr)),
+    then top-k.  Composes the text engine with the link graph; the
+    prior join is a broadcast (hosts, not pages) (ops/linkgraph.py
+    `authority_boost`)."""
+    from caterpillar_spark.ops import (
+        authority_boost,
+        extract_links,
+        host_link_edges,
+        pagerank,
+    )
+    from caterpillar_spark.query import search
+
+    idx = _index_cached(sf_dir)
+    # candidate depth = full match set at this sf; at scale this is the
+    # usual bounded rerank depth
+    full = search(
+        idx, k=100_000, unit="document", should=TOPK_TERMS, scorer="bm25_doc"
+    )
+    hosts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+    )
+    pr = pagerank(
+        host_link_edges(extract_links(_linkhtml(spark, sf_dir))),
+        iterations=5,
+    )
+    boosted = authority_boost(
+        full.join(hosts, "doc_id"), pr, on="host", weight=1.0
+    )
+    return (
+        boosted.orderBy(F.desc("boosted_score"), F.asc("doc_id"))
+        .limit(K)
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.round("boosted_score", 6).alias("boosted_score"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 
@@ -1243,6 +1301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_rollup": q_anchor_rollup,
         "host_degree": q_host_degree,
         "pagerank": q_pagerank,
+        "hits_scores": q_hits_scores,
+        "authority_topk": q_authority_topk,
     }
 
 
@@ -1308,14 +1368,16 @@ edges AS (
 )"""
 
 
-def _pagerank_sql(iterations: int, damping: float) -> str:
-    """Unrolled fixed-iteration PageRank over the _linkhtml() host
-    graph — one CTE per power iteration, mirroring ops/linkgraph.py's
-    update rank'(v) = (1-d)/n + d*sum_in(p*rank).  The graph has no
-    dangling hosts by construction, so the dangling-mass term is zero
-    on both sides (the Spark side computes it and gets 0.0)."""
+def _pagerank_ctes(iterations: int, damping: float) -> str:
+    """CTE chain ``links, edges, nodes, c, trans, r0..r{N}`` unrolling
+    fixed-iteration PageRank over the _linkhtml() host graph, mirroring
+    ops/linkgraph.py's update rank'(v) = (1-d)/n + d*sum_in(p*rank).
+    The graph has no dangling hosts by construction, so the
+    dangling-mass term is zero on both sides (the Spark side computes
+    it and gets 0.0).  ``r{N}.rank`` is UNROUNDED so fusion oracles can
+    compose with it before rounding."""
     parts = [
-        f"WITH {_LINK_EDGES_SQL},",
+        f"{_LINK_EDGES_SQL},",
         """nodes AS (
     SELECT DISTINCT src_host AS host FROM edges
     UNION
@@ -1339,8 +1401,62 @@ r0 AS (SELECT host, (SELECT 1.0 / n FROM c) AS rank FROM nodes),""",
     LEFT JOIN r{k - 1} r ON r.host = t.src_host
     GROUP BY nd.host
 ),""")
+    return "\n".join(parts).rstrip(",\n")
+
+
+def _pagerank_sql(iterations: int, damping: float) -> str:
+    return (
+        "WITH " + _pagerank_ctes(iterations, damping) + "\n"
+        + f"SELECT host, round(rank, 6) AS rank FROM r{iterations}\n"
+    )
+
+
+def _hits_sql(iterations: int) -> str:
+    """Unrolled fixed-iteration Kleinberg HITS over the _linkhtml()
+    host graph — per iteration: raw authority (hub mass over inlinks),
+    L2 normalize, raw hub (authority mass over outlinks), L2 normalize
+    — mirroring ops/linkgraph.py exactly.  Norms are nonzero by
+    construction (the graph has edges)."""
+    parts = [
+        f"WITH {_LINK_EDGES_SQL},",
+        """nodes AS (
+    SELECT DISTINCT src_host AS host FROM edges
+    UNION
+    SELECT DISTINCT dst_host FROM edges
+),
+trans AS (
+    SELECT src_host AS src, dst_host AS dst, n_links::DOUBLE AS w FROM edges
+),
+h0 AS (SELECT host, 1.0 AS s FROM nodes),""",
+    ]
+    # L2 norms as window-over-all, NOT scalar subqueries: a scalar
+    # subquery would reference the iteration CTE twice, and DuckDB
+    # inlines (rather than materializes) CTEs by default — doubling
+    # per reference compounds to 4^iterations evaluations of the base.
+    for k in range(1, iterations + 1):
+        parts.append(f"""a{k} AS (
+    SELECT host, s / sqrt(sum(s * s) OVER ()) AS s FROM (
+        SELECT nd.host, coalesce(sum(t.w * h.s), 0.0) AS s
+        FROM nodes nd
+        LEFT JOIN trans t ON t.dst = nd.host
+        LEFT JOIN h{k - 1} h ON h.host = t.src
+        GROUP BY nd.host
+    )
+),
+h{k} AS (
+    SELECT host, s / sqrt(sum(s * s) OVER ()) AS s FROM (
+        SELECT nd.host, coalesce(sum(t.w * a.s), 0.0) AS s
+        FROM nodes nd
+        LEFT JOIN trans t ON t.src = nd.host
+        LEFT JOIN a{k} a ON a.host = t.dst
+        GROUP BY nd.host
+    )
+),""")
     body = "\n".join(parts).rstrip(",\n") + "\n"
-    return body + f"SELECT host, round(rank, 6) AS rank FROM r{iterations}\n"
+    return body + (
+        f"SELECT h.host, round(h.s, 6) AS hub, round(a.s, 6) AS authority\n"
+        f"FROM h{iterations} h JOIN a{iterations} a ON h.host = a.host\n"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2759,6 +2875,41 @@ joined AS (
 )
 SELECT c.dst_url, c.n_anchors, j.anchor_text
 FROM counts c JOIN joined j ON c.dst_url = j.dst_url
+""",
+        "hits_scores": _hits_sql(iterations=5),
+        # Rank-then-rerank fusion: UNROUNDED BM25-doc scores fused with
+        # the UNROUNDED PageRank prior (boosted = s·(1 + pr/max_pr)),
+        # ordered by the raw boosted score exactly as the Spark side
+        # does, rounded only in the projection.
+        "authority_topk": f"""
+WITH {_TOK},
+{_pagerank_ctes(5, 0.85)},
+scores AS (
+    SELECT t.doc_id,
+           sum(
+               ln(1.0 + (c2.n - s.ff + 0.5) / (s.ff + 0.5))
+               * (t.freq * 2.2)
+               / (t.freq + 1.2 * (0.25 + 0.75 * d.dl / c2.avgdl))
+           ) AS score
+    FROM tf t
+    JOIN stats s ON t.term = s.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN consts c2
+    WHERE t.term IN ({topk})
+    GROUP BY t.doc_id
+),
+mx AS (SELECT max(rank) AS v FROM r5),
+pr_host AS (SELECT host, rank / (SELECT v FROM mx) AS pn FROM r5)
+SELECT doc_id, round(score, 6) AS score,
+       round(score * (1.0 + coalesce(pn, 0.0)), 6) AS boosted_score
+FROM (
+    SELECT sc.doc_id, sc.score, p.pn
+    FROM scores sc
+    JOIN documents doc ON doc.doc_id = sc.doc_id
+    LEFT JOIN pr_host p ON p.host = doc.source || '.example.org'
+)
+ORDER BY score * (1.0 + coalesce(pn, 0.0)) DESC, doc_id ASC
+LIMIT {K}
 """,
     }
 

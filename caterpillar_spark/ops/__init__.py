@@ -60,6 +60,8 @@ from caterpillar_spark.ops.linkgraph import (
     host_link_edges,
     host_degree,
     pagerank,
+    hits,
+    authority_boost,
 )
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
@@ -106,6 +108,8 @@ __all__ = [
     "host_link_edges",
     "host_degree",
     "pagerank",
+    "hits",
+    "authority_boost",
     "cosine_topk",
     "embedding_lsh_candidates",
     "embedding_near_dups",

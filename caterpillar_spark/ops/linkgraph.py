@@ -40,6 +40,8 @@ __all__ = [
     "host_link_edges",
     "host_degree",
     "pagerank",
+    "hits",
+    "authority_boost",
 ]
 
 # scheme://authority of the source page, for resolving absolute paths
@@ -329,3 +331,133 @@ def pagerank(
     trans.unpersist()
     dangling_nodes.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: Optional[str] = "n_links",
+    iterations: int = 10,
+) -> DataFrame:
+    """Kleinberg HITS over an edge list: ``(host, hub, authority)``.
+
+    The other classic link-analysis signal next to PageRank: hubs are
+    pages that point at good authorities, authorities are pages pointed
+    at by good hubs.  Per iteration (standard mutual recursion, L2
+    normalization)::
+
+        auth(v) = Σ_{u→v} w(u,v)·hub(u)   then  auth /= ‖auth‖₂
+        hub(u)  = Σ_{u→v} w(u,v)·auth(v)  then  hub  /= ‖hub‖₂
+
+    Execution shape mirrors :func:`pagerank`: the edge relation is
+    persisted once; each half-step is one shuffle (keyed by the side
+    being updated) plus one O(1) norm scalar; both score vectors are
+    ``localCheckpoint``-ed per round to truncate lineage.  Fixed
+    iteration count keeps the result a pure function of the input —
+    reproducible by the unrolled-SQL oracle.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    ).persist()
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0)
+        )
+
+    hub = nodes.select("host", F.lit(1.0).alias("s"))
+    auth = nodes.select("host", F.lit(1.0).alias("s"))
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hub, e["src"] == hub["host"])
+            .select(F.col("dst").alias("host"), (F.col("w") * F.col("s")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        auth = (
+            nodes.join(raw_a, "host", "left")
+            .select("host", F.coalesce("c", F.lit(0.0)).alias("s"))
+            .localCheckpoint()
+        )
+        na = auth.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
+        if na:
+            auth = auth.select("host", (F.col("s") / F.lit(na)).alias("s"))
+            auth = auth.localCheckpoint()
+        raw_h = (
+            e.join(auth, e["dst"] == auth["host"])
+            .select(F.col("src").alias("host"), (F.col("w") * F.col("s")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        hub = (
+            nodes.join(raw_h, "host", "left")
+            .select("host", F.coalesce("c", F.lit(0.0)).alias("s"))
+            .localCheckpoint()
+        )
+        nh = hub.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
+        if nh:
+            hub = hub.select("host", (F.col("s") / F.lit(nh)).alias("s"))
+            hub = hub.localCheckpoint()
+    out = (
+        hub.withColumnRenamed("s", "hub")
+        .join(auth.withColumnRenamed("s", "authority"), "host")
+        .select("host", "hub", "authority")
+    )
+    e.unpersist()
+    return out
+
+
+def authority_boost(
+    results: DataFrame,
+    priors: DataFrame,
+    on: str,
+    prior_col: str = "rank",
+    score_col: str = "score",
+    weight: float = 1.0,
+    out_col: str = "boosted_score",
+) -> DataFrame:
+    """Fuse a static authority prior (e.g. host PageRank) into a scored
+    result set — the domain-authority re-ranking step of a web search
+    stack::
+
+        boosted = score · (1 + weight · prior / max(prior))
+
+    Rows with no prior (unknown host) keep their raw score.  The max
+    normalizer is one O(1) scalar broadcast (crossJoin of a 1-row
+    aggregate, JVM-only); the prior table joins in by ``on`` — at scale
+    a broadcast join when priors fit (hosts, not pages), else a hash
+    join keyed by the result set, which is already top-k-bounded in the
+    rank-then-rerank pattern this composes with.
+    """
+    mx = priors.agg(F.max(F.col(prior_col)).alias("_mx"))
+    p = priors.crossJoin(F.broadcast(mx)).select(
+        F.col(on),
+        (F.col(prior_col) / F.col("_mx")).alias("_prior_norm"),
+    )
+    return (
+        results.join(F.broadcast(p), on, "left")
+        .withColumn(
+            out_col,
+            F.col(score_col)
+            * (
+                F.lit(1.0)
+                + F.lit(weight) * F.coalesce(F.col("_prior_norm"), F.lit(0.0))
+            ),
+        )
+        .drop("_prior_norm")
+    )
