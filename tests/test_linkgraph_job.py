@@ -1,0 +1,57 @@
+"""End-to-end link-graph pipeline job (jobs/linkgraph_job.py): one
+subprocess run over a small synthetic webtext corpus with every
+optional stage enabled, asserting artifact integrity (rank mass sums
+to 1, degree/edge consistency, anchors bounded by the cap)."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def test_linkgraph_job_end_to_end(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from caterpillar_spark.sources.webtext import synthetic_webtext
+
+    crawl = str(tmp_path / "web.parquet")
+    out = str(tmp_path / "graph")
+    synthetic_webtext(spark, n_docs=250, seed=21).write.parquet(crawl)
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [
+            sys.executable, "/root/repo/jobs/linkgraph_job.py",
+            "--input", crawl, "--output", out,
+            "--iterations", "4", "--hits", "--anchors",
+            "--max-anchors", "3", "--cores", "4",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert metrics["pages"] == 250
+    assert metrics["hosts"] > 0 and metrics["host_edges"] > 0
+    assert metrics["links"] >= metrics["host_edges"]
+    # Zipf-hot head: site-0 collects the most inlinks
+    assert metrics["top_hosts"][0]["host"] == "site-0.example.org"
+
+    pr = spark.read.parquet(f"{out}/pagerank")
+    assert pr.agg(F.sum("rank")).collect()[0][0] == pytest.approx(1.0, abs=1e-6)
+    deg = spark.read.parquet(f"{out}/degree")
+    edges = spark.read.parquet(f"{out}/edges")
+    assert deg.count() == metrics["hosts"]
+    assert (
+        edges.agg(F.sum("n_links")).collect()[0][0]
+        == deg.agg(F.sum("out_links")).collect()[0][0]
+    )
+    hs = spark.read.parquet(f"{out}/hits")
+    assert hs.count() == metrics["hosts"]
+    anchors = spark.read.parquet(f"{out}/anchors")
+    assert anchors.count() == metrics["anchor_targets"]
+    # cap bound: no joined field carries more than max-anchors texts
+    over = anchors.where(
+        F.size(F.split("anchor_text", " ")) > 3
+    ).count()
+    assert over == 0
