@@ -1203,6 +1203,18 @@ def q_authority_topk(spark, sf_dir):
     )
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Next crawl round's frontier: distinct link targets not yet in
+    the crawled set, capped at 3 per host (politeness budget) in
+    deterministic md5 order — one distinct + one anti-join + one
+    host-keyed window (ops/linkgraph.py)."""
+    from caterpillar_spark.ops import crawl_frontier, extract_links
+
+    crawl = _linkhtml(spark, sf_dir)
+    links = extract_links(crawl)
+    return crawl_frontier(links, crawl.select("url"), max_per_host=3)
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 
@@ -1303,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "hits_scores": q_hits_scores,
         "authority_topk": q_authority_topk,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -2910,6 +2923,34 @@ FROM (
 )
 ORDER BY score * (1.0 + coalesce(pn, 0.0)) DESC, doc_id ASC
 LIMIT {K}
+""",
+        # Frontier: distinct resolved targets minus the crawled URL
+        # set, then the 3 smallest md5(url) per host (politeness cap).
+        "crawl_frontier": """
+WITH links AS (
+    SELECT 'https://src' || ((doc_id * 7 + 3) % 20) || '.example.org/docs/'
+               || (doc_id % 37) AS dst_url
+    FROM documents
+    UNION ALL
+    SELECT 'https://' || source || '.example.org/docs/'
+               || ((doc_id * 3 + 1) % 41)
+    FROM documents
+),
+seen AS (
+    SELECT DISTINCT 'https://' || source || '.example.org/docs/'
+               || (doc_id % 200) AS url
+    FROM documents
+),
+cand AS (SELECT DISTINCT dst_url AS url FROM links),
+new AS (
+    SELECT c.url, regexp_extract(c.url, '://([^/]+)', 1) AS host
+    FROM cand c
+    ANTI JOIN seen s ON s.url = c.url
+)
+SELECT url, host FROM new
+QUALIFY row_number() OVER (
+    PARTITION BY host ORDER BY md5(url), url
+) <= 3
 """,
     }
 

@@ -62,6 +62,7 @@ from caterpillar_spark.ops.linkgraph import (
     pagerank,
     hits,
     authority_boost,
+    crawl_frontier,
 )
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
@@ -110,6 +111,7 @@ __all__ = [
     "pagerank",
     "hits",
     "authority_boost",
+    "crawl_frontier",
     "cosine_topk",
     "embedding_lsh_candidates",
     "embedding_near_dups",

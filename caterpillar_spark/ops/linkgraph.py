@@ -42,6 +42,7 @@ __all__ = [
     "pagerank",
     "hits",
     "authority_boost",
+    "crawl_frontier",
 ]
 
 # scheme://authority of the source page, for resolving absolute paths
@@ -461,3 +462,41 @@ def authority_boost(
         )
         .drop("_prior_norm")
     )
+
+
+def crawl_frontier(
+    links: DataFrame,
+    seen: DataFrame,
+    dst_col: str = "dst_url",
+    seen_col: str = "url",
+    max_per_host: Optional[int] = None,
+) -> DataFrame:
+    """Next crawl round's frontier: ``(url, host)`` — distinct link
+    targets not yet crawled, optionally capped per host (the
+    politeness / budget knob every frontier scheduler needs).
+
+    Execution shape: one distinct on the target column (term-sized,
+    not link-stream-sized after map-side combine), one left-anti join
+    against the seen set (hash join on url; at 10^12 seen URLs this is
+    the bloom-filter slot-in — the anti-join stays correct, a bloom
+    pre-filter just cuts the shuffle), and, when capped, one
+    host-keyed window taking the ``max_per_host`` smallest md5(url)
+    per host — deterministic under any partitioning, so schedulers
+    resume reproducibly.
+    """
+    from pyspark.sql import Window
+
+    cand = links.select(F.col(dst_col).alias("url")).distinct()
+    new = cand.join(
+        seen.select(F.col(seen_col).alias("url")).distinct(),
+        "url",
+        "left_anti",
+    ).select("url", host_of(F.col("url")).alias("host"))
+    if max_per_host is not None:
+        w = Window.partitionBy("host").orderBy(F.md5("url"), "url")
+        new = (
+            new.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_per_host)
+            .drop("_rn")
+        )
+    return new
