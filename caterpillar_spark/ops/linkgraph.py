@@ -390,6 +390,10 @@ def hits(
             .groupBy("host")
             .agg(F.sum("c").alias("c"))
         )
+        # one checkpoint per half-step: the raw vector is materialized
+        # (and its lineage truncated) once; the normalization is a
+        # narrow map over it, so leaving it lazy adds one plan node,
+        # not a lineage chain
         auth = (
             nodes.join(raw_a, "host", "left")
             .select("host", F.coalesce("c", F.lit(0.0)).alias("s"))
@@ -398,7 +402,6 @@ def hits(
         na = auth.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
         if na:
             auth = auth.select("host", (F.col("s") / F.lit(na)).alias("s"))
-            auth = auth.localCheckpoint()
         raw_h = (
             e.join(auth, e["dst"] == auth["host"])
             .select(F.col("src").alias("host"), (F.col("w") * F.col("s")).alias("c"))
@@ -413,7 +416,6 @@ def hits(
         nh = hub.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
         if nh:
             hub = hub.select("host", (F.col("s") / F.lit(nh)).alias("s"))
-            hub = hub.localCheckpoint()
     out = (
         hub.withColumnRenamed("s", "hub")
         .join(auth.withColumnRenamed("s", "authority"), "host")

@@ -7,6 +7,12 @@ from caterpillar_spark.streaming.stateful import (
     first_seen,
     windowed_event_counts,
 )
+from caterpillar_spark.streaming.linkstream import (
+    append_link_batch,
+    merged_link_edges,
+    start_link_stream,
+    compact_link_edges,
+)
 
 __all__ = [
     "append_batch",
@@ -14,4 +20,8 @@ __all__ = [
     "start_incremental_index",
     "first_seen",
     "windowed_event_counts",
+    "append_link_batch",
+    "merged_link_edges",
+    "start_link_stream",
+    "compact_link_edges",
 ]

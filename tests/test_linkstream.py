@@ -1,0 +1,71 @@
+"""Incremental link-graph maintenance (streaming/linkstream.py):
+delta appends via foreachBatch, exact merge-on-read, replay
+idempotency, ledger-guarded compaction."""
+import os
+
+from pyspark.sql import functions as F
+
+from caterpillar_spark.ops import extract_links, host_link_edges
+from caterpillar_spark.sources.webtext import synthetic_webtext
+from caterpillar_spark.streaming import (
+    append_link_batch,
+    compact_link_edges,
+    merged_link_edges,
+    start_link_stream,
+)
+
+
+def _edge_map(df):
+    return {
+        (r.src_host, r.dst_host): r.n_links for r in df.collect()
+    }
+
+
+def test_linkstream_end_to_end(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    path = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    full = synthetic_webtext(spark, 240, seed=31, partitions=1).cache()
+    a_urls = [r.url for r in full.limit(120).select("url").collect()]
+    batch_a = full.where(F.col("url").isin(a_urls))
+    batch_b = full.where(~F.col("url").isin(a_urls))
+    batch_a.coalesce(1).write.mode("append").parquet(landing)
+
+    q = start_link_stream(spark, landing, path, ckpt)
+    q.awaitTermination(120)
+
+    batch_b.coalesce(1).write.mode("append").parquet(landing)
+    q2 = start_link_stream(spark, landing, path, ckpt)
+    q2.awaitTermination(120)
+
+    want = _edge_map(host_link_edges(extract_links(full)))
+    got = _edge_map(merged_link_edges(spark, path))
+    assert got == want
+
+    # replaying an already-applied batch overwrites its own partition:
+    # merged counts unchanged
+    append_link_batch(batch_a, path, 0)
+    assert _edge_map(merged_link_edges(spark, path)) == want
+
+    # compaction folds deltas into base; merged view identical
+    compact_link_edges(spark, path)
+    assert not os.path.isdir(os.path.join(path, "deltas"))
+    assert _edge_map(merged_link_edges(spark, path)) == want
+
+    # a replay of a compacted batch is dropped by the ledger
+    append_link_batch(batch_a, path, 0)
+    assert not os.path.isdir(os.path.join(path, "deltas"))
+    assert _edge_map(merged_link_edges(spark, path)) == want
+
+    # a genuinely new batch lands as a fresh delta and merges in
+    extra = synthetic_webtext(spark, 300, seed=31, partitions=1).where(
+        ~F.col("url").isin([r.url for r in full.select("url").collect()])
+    )
+    append_link_batch(extra, path, 99)
+    want2 = _edge_map(
+        host_link_edges(extract_links(full.unionByName(extra)))
+    )
+    assert _edge_map(merged_link_edges(spark, path)) == want2
+    full.unpersist()
