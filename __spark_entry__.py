@@ -1203,6 +1203,17 @@ def q_authority_topk(spark, sf_dir):
     )
 
 
+def q_host_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity — the link-farm/link-exchange
+    heuristic: fraction of distinct out-neighbours that link back.
+    One pair-distinct + one swapped self-semi-join + one host agg
+    (ops/linkgraph.py)."""
+    from caterpillar_spark.ops import extract_links, host_link_edges, host_reciprocity
+
+    edges = host_link_edges(extract_links(_linkhtml(spark, sf_dir)))
+    return host_reciprocity(edges)
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Next crawl round's frontier: distinct link targets not yet in
     the crawled set, capped at 3 per host (politeness budget) in
@@ -1316,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "authority_topk": q_authority_topk,
         "crawl_frontier": q_crawl_frontier,
+        "host_reciprocity": q_host_reciprocity,
     }
 
 
@@ -2951,6 +2963,26 @@ SELECT url, host FROM new
 QUALIFY row_number() OVER (
     PARTITION BY host ORDER BY md5(url), url
 ) <= 3
+""",
+        "host_reciprocity": f"""
+WITH {_LINK_EDGES_SQL},
+pairs AS (
+    SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges
+),
+sel AS (
+    SELECT p.src, p.dst,
+           EXISTS (
+               SELECT 1 FROM pairs q
+               WHERE q.src = p.dst AND q.dst = p.src
+           ) AS m
+    FROM pairs p
+)
+SELECT src AS host,
+       count(*)::BIGINT AS out_hosts,
+       sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS reciprocal_hosts,
+       round(sum(CASE WHEN m THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS reciprocity
+FROM sel GROUP BY src
 """,
     }
 

@@ -63,6 +63,7 @@ from caterpillar_spark.ops.linkgraph import (
     hits,
     authority_boost,
     crawl_frontier,
+    host_reciprocity,
 )
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
@@ -112,6 +113,7 @@ __all__ = [
     "hits",
     "authority_boost",
     "crawl_frontier",
+    "host_reciprocity",
     "cosine_topk",
     "embedding_lsh_candidates",
     "embedding_near_dups",

@@ -43,6 +43,7 @@ __all__ = [
     "hits",
     "authority_boost",
     "crawl_frontier",
+    "host_reciprocity",
 ]
 
 # scheme://authority of the source page, for resolving absolute paths
@@ -248,6 +249,8 @@ def pagerank(
     weight_col: Optional[str] = "n_links",
     damping: float = 0.85,
     iterations: int = 10,
+    init_ranks: Optional[DataFrame] = None,
+    tol: Optional[float] = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list — fixed-iteration power
     method, the crawl-prioritization / domain-authority signal.
@@ -265,6 +268,16 @@ def pagerank(
     discipline as near_dup_clusters).  Fixed iteration count keeps the
     result a pure function of the input — resume/backfill stable, and
     exactly reproducible by the unrolled-SQL oracle.
+
+    Incremental crawls: pass the previous run's output as
+    ``init_ranks`` (a (host, rank) relation) to warm-start — new hosts
+    get the uniform prior, known hosts their old rank, and the vector
+    is re-normalized to sum 1 so the fixed point is unchanged; the
+    power method then needs far fewer rounds to re-converge after an
+    edge delta.  ``tol`` adds early exit: stop once the L1 rank change
+    of a round falls below it (one extra O(1) scalar per round).  The
+    fixed-point is start-independent, so warm-started results converge
+    to the same ranks as cold ones.
     """
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
@@ -301,7 +314,20 @@ def pagerank(
     # a driver round-trip per round — is skipped outright
     n_dangling = dangling_nodes.count()
 
-    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+    if init_ranks is not None:
+        warm = nodes.join(
+            init_ranks.select("host", F.col("rank").alias("_r0")),
+            "host",
+            "left",
+        ).select(
+            "host", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank")
+        )
+        total = warm.agg(F.sum("rank")).collect()[0][0] or 1.0
+        ranks = warm.select(
+            "host", (F.col("rank") / F.lit(total)).alias("rank")
+        ).localCheckpoint()
+    else:
+        ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         dm = 0.0
         if n_dangling:
@@ -319,6 +345,7 @@ def pagerank(
             .agg(F.sum("c").alias("c"))
         )
         base = (1.0 - damping) / n + damping * dm / n
+        prev = ranks
         ranks = (
             nodes.join(contrib, "host", "left")
             .select(
@@ -329,6 +356,17 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select("host", F.col("rank").alias("_pr")), "host"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_pr"))))
+                .collect()[0][0]
+                or 0.0
+            )
+            if delta < tol:
+                break
     trans.unpersist()
     dangling_nodes.unpersist()
     return ranks
@@ -502,3 +540,51 @@ def crawl_frontier(
             .drop("_rn")
         )
     return new
+
+
+def host_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host link reciprocity:
+    ``(host, out_hosts, reciprocal_hosts, reciprocity)`` where
+    ``reciprocity`` is the fraction of a host's distinct out-neighbours
+    that link back — the classic link-farm / link-exchange signal
+    (organic graphs are mostly asymmetric; mutual-link cliques are
+    not).
+
+    One distinct over host pairs, one self-semi-join against the
+    swapped relation (hash equi-join on both key columns — no
+    all-pairs), one host-keyed agg.  Weights are ignored on purpose:
+    reciprocity is about WHO links back, not how often.
+    """
+    pairs = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    swapped = pairs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = pairs.join(swapped, ["src", "dst"], "left_semi").select(
+        "src", F.lit(1).alias("_m")
+    )
+    per_host = pairs.select("src", F.lit(0).alias("_m")).unionByName(mutual)
+    return (
+        per_host.groupBy(F.col("src").alias("host"))
+        .agg(
+            F.sum(F.lit(1) - F.col("_m")).cast("long").alias("out_hosts"),
+            F.sum("_m").cast("long").alias("reciprocal_hosts"),
+        )
+        .select(
+            "host",
+            "out_hosts",
+            "reciprocal_hosts",
+            F.round(
+                F.col("reciprocal_hosts") / F.col("out_hosts"), 6
+            ).alias("reciprocity"),
+        )
+    )
