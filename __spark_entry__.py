@@ -1075,6 +1075,9 @@ def _linkhtml(spark, sf_dir):
         (F.col("doc_id") % 200).cast("string"),
     )
     html = F.concat(
+        # doc_id%3 leading <div>s vary the tag skeleton so the
+        # template-fingerprint oracle sees three groups
+        F.expr("repeat('<div>', cast(doc_id % 3 as int))"),
         F.lit('<p>x <a href="https://src'),
         ((F.col("doc_id") * 7 + 3) % 20).cast("string"),
         F.lit(".example.org/docs/"),
@@ -1214,6 +1217,65 @@ def q_host_reciprocity(spark, sf_dir):
     return host_reciprocity(edges)
 
 
+def q_url_features(spark, sf_dir):
+    """Structural URL features on canonicalized crawl URLs (path
+    depth/length, param count, scheme, index-page heuristic) — the
+    crawl-trap / quality columns, zero shuffles (ops/weburl.py).  The
+    oracle computes every feature straight from the synthesis formula,
+    independent of the canonicalizer + regex chain."""
+    from caterpillar_spark.ops import url_features
+
+    out = url_features(_crawl(spark, sf_dir))
+    return out.select(
+        "doc_id", "host", "path_depth", "path_len", "n_params",
+        "is_https", "is_index",
+    )
+
+
+def q_template_fingerprints(spark, sf_dir):
+    """Template dedup signal: md5 of each page's opening-tag skeleton.
+    The synthetic pages carry doc_id%3 leading <div>s, so exactly three
+    template families exist; the oracle md5s the tag sequence built
+    from the formula — independent of the extraction regex
+    (ops/dedup.py html_structure_fingerprint)."""
+    from caterpillar_spark.ops import html_structure_fingerprint
+
+    fp = html_structure_fingerprint(_linkhtml(spark, sf_dir))
+    return fp.groupBy("struct_fp", "n_tags").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+
+
+def _sitemaps(spark, sf_dir):
+    """Deterministic sitemap-XML relation: each doc is a sitemap with
+    one http(s) <loc> (whitespace-padded) and one ftp <loc> that must
+    be dropped."""
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.lit(".example.org/sitemap-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".xml"),
+    )
+    xml = F.concat(
+        F.lit("<urlset><url><loc>  https://"), F.col("source"),
+        F.lit(".example.org/docs/"),
+        ((F.col("doc_id") * 5 + 2) % 50).cast("string"),
+        F.lit(" </loc></url><url><loc>ftp://files.example.org/"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("</loc></url></urlset>"),
+    ).cast("binary")
+    return docs.select(url.alias("url"), xml.alias("html"))
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap <loc> extraction (whitespace-trimmed, non-http dropped)
+    — the second frontier source next to in-page links
+    (ops/linkgraph.py extract_sitemap_urls)."""
+    from caterpillar_spark.ops import extract_sitemap_urls
+
+    return extract_sitemap_urls(_sitemaps(spark, sf_dir))
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Next crawl round's frontier: distinct link targets not yet in
     the crawled set, capped at 3 per host (politeness budget) in
@@ -1328,6 +1390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "authority_topk": q_authority_topk,
         "crawl_frontier": q_crawl_frontier,
         "host_reciprocity": q_host_reciprocity,
+        "url_features": q_url_features,
+        "template_fingerprints": q_template_fingerprints,
+        "sitemap_urls": q_sitemap_urls,
     }
 
 
@@ -2983,6 +3048,41 @@ SELECT src AS host,
        round(sum(CASE WHEN m THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
            AS reciprocity
 FROM sel GROUP BY src
+""",
+        # Features computed straight from the _crawl() synthesis
+        # formula (all five raw variants collapse to the same
+        # canonical path; only variant 4 keeps its ?ref= param).
+        "url_features": """
+SELECT doc_id,
+       source || '.example.org' AS host,
+       2 AS path_depth,
+       length('/docs/' || (doc_id % 200))::INT AS path_len,
+       CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS n_params,
+       true AS is_https,
+       false AS is_index
+FROM documents
+""",
+        # Tag skeleton from the _linkhtml() formula: doc_id%3 leading
+        # divs + <p> + three <a> — md5 of the joined lowercase names,
+        # independent of the extraction regex.
+        "template_fingerprints": """
+SELECT md5(CASE doc_id % 3
+           WHEN 0 THEN 'p,a,a,a'
+           WHEN 1 THEN 'div,p,a,a,a'
+           ELSE 'div,div,p,a,a,a' END) AS struct_fp,
+       (4 + doc_id % 3)::INT AS n_tags,
+       count(*)::BIGINT AS n_pages
+FROM documents
+GROUP BY doc_id % 3
+""",
+        # <loc> set from the _sitemaps() formula: the http(s) entry
+        # trimmed, the ftp entry dropped.
+        "sitemap_urls": """
+SELECT 'https://' || source || '.example.org/sitemap-' || (doc_id % 7)
+           || '.xml' AS url,
+       'https://' || source || '.example.org/docs/'
+           || ((doc_id * 5 + 2) % 50) AS dst_url
+FROM documents
 """,
     }
 

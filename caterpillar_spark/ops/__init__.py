@@ -38,6 +38,7 @@ from caterpillar_spark.ops.dedup import (
     ngram_jaccard_pairs,
     decontaminate,
     dedup_lines,
+    html_structure_fingerprint,
 )
 from caterpillar_spark.ops.sampling import (
     select_survivors,
@@ -52,6 +53,7 @@ from caterpillar_spark.ops.weburl import (
     host_filter,
     url_snapshot_dedup,
     host_stats,
+    url_features,
 )
 from caterpillar_spark.ops.linkgraph import (
     extract_links,
@@ -64,6 +66,7 @@ from caterpillar_spark.ops.linkgraph import (
     authority_boost,
     crawl_frontier,
     host_reciprocity,
+    extract_sitemap_urls,
 )
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
@@ -94,6 +97,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "decontaminate",
     "dedup_lines",
+    "html_structure_fingerprint",
     "select_survivors",
     "token_budget_sample",
     "stratified_sample",
@@ -104,6 +108,7 @@ __all__ = [
     "host_filter",
     "url_snapshot_dedup",
     "host_stats",
+    "url_features",
     "extract_links",
     "extract_anchor_texts",
     "anchor_text_rollup",
@@ -114,6 +119,7 @@ __all__ = [
     "authority_boost",
     "crawl_frontier",
     "host_reciprocity",
+    "extract_sitemap_urls",
     "cosine_topk",
     "embedding_lsh_candidates",
     "embedding_near_dups",

@@ -647,3 +647,31 @@ def dedup_lines(
             "n_removed",
         )
     )
+
+
+def html_structure_fingerprint(
+    df: DataFrame,
+    html_col: str = "html",
+) -> DataFrame:
+    """Template fingerprint of a page's markup: appends ``struct_fp``
+    (md5 of the opening-tag-name sequence) and ``n_tags``.
+
+    Pages generated from the same template share a tag skeleton even
+    when their text differs entirely — grouping by ``struct_fp`` is
+    the cheap boilerplate/template-dedup pass that text shingles miss
+    (a forum with 10^7 thread pages is ONE fingerprint).  A single
+    narrow JVM pass: ``regexp_extract_all`` of ``<tagname`` openings,
+    joined and md5-ed; zero shuffles.  The DuckDB oracle runs the
+    identical expressions.
+    """
+    tags = F.expr(
+        f"regexp_extract_all(cast({html_col} as string),"
+        " '<([a-zA-Z][a-zA-Z0-9]*)', 1)"
+    )
+    return df.withColumn("_tags", tags).select(
+        "*",
+        F.md5(F.array_join(F.transform("_tags", F.lower), ",")).alias(
+            "struct_fp"
+        ),
+        F.size("_tags").alias("n_tags"),
+    ).drop("_tags")

@@ -44,6 +44,7 @@ __all__ = [
     "authority_boost",
     "crawl_frontier",
     "host_reciprocity",
+    "extract_sitemap_urls",
 ]
 
 # scheme://authority of the source page, for resolving absolute paths
@@ -587,4 +588,28 @@ def host_reciprocity(
                 F.col("reciprocal_hosts") / F.col("out_hosts"), 6
             ).alias("reciprocity"),
         )
+    )
+
+
+def extract_sitemap_urls(
+    df: DataFrame,
+    xml_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """URLs listed in sitemap XML documents: ``(url, dst_url)`` — the
+    other frontier source next to in-page links (sitemaps enumerate
+    pages crawlers would otherwise discover slowly or never).
+
+    One JVM ``regexp_extract_all`` over ``<loc>…</loc>`` entries with
+    surrounding whitespace trimmed; non-http(s) entries are dropped.
+    Composes with :func:`crawl_frontier` exactly like
+    :func:`extract_links` output.
+    """
+    locs = F.expr(
+        f"regexp_extract_all(cast({xml_col} as string),"
+        " '<loc>\\\\s*([^<]*?)\\\\s*</loc>', 1)"
+    )
+    return (
+        df.select(F.col(url_col).alias("url"), F.explode(locs).alias("dst_url"))
+        .where(F.col("dst_url").rlike("^https?://"))
     )

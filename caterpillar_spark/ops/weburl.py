@@ -41,6 +41,7 @@ __all__ = [
     "host_filter",
     "url_snapshot_dedup",
     "host_stats",
+    "url_features",
 ]
 
 # scheme://authority prefix (up to the first /, ? or #)
@@ -246,3 +247,46 @@ def host_stats(
         aggs.append(F.round(F.avg(size_col), 6).alias("mean_size"))
     aggs.extend(extra_aggs)
     return base.groupBy("host").agg(*aggs)
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Structural URL features for crawl-quality scoring — appended as
+    columns: ``host``, ``path_depth`` (non-empty path segments),
+    ``path_len`` (characters in the path), ``n_params`` (query
+    parameters), ``is_https``, ``is_index`` (empty path, bare ``/``,
+    or ``…/index.*`` — the section-landing-page heuristic).
+
+    Deep paths, parameter-heavy URLs, and calendar/faceted-navigation
+    traps score poorly in crawl curation; index pages get crawled
+    first.  All JVM column algebra, zero shuffles; with
+    ``canonicalize`` the features are computed on the canonical form
+    (case, ports, fragments, tracking params folded first).
+    """
+    u = F.col(url_col)
+    if canonicalize:
+        u = canonical_url(u)
+    path = F.regexp_extract(u, _PREFIX_RE + r"([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    return (
+        df.withColumn("host", host_of(u))
+        .withColumn(
+            "path_depth",
+            F.size(F.filter(F.split(path, "/"), lambda x: x != "")),
+        )
+        .withColumn("path_len", F.length(path))
+        .withColumn(
+            "n_params",
+            F.when(query == "", F.lit(0)).otherwise(
+                F.size(F.split(query, "&"))
+            ),
+        )
+        .withColumn("is_https", u.startswith("https://"))
+        .withColumn(
+            "is_index",
+            (path == "") | (path == "/") | path.rlike(r"/index\.[a-z]+$"),
+        )
+    )

@@ -189,3 +189,28 @@ def test_host_stats(crawl):
     assert a.mean_size == pytest.approx(2.5)
     b = out["b.org"]
     assert (b.n_docs, b.n_pages, b.n_langs) == (1, 1, 1)
+
+
+def test_url_features(spark):
+    from caterpillar_spark.ops import url_features
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://A.org:443/Docs/Guide/x?utm_source=f&page=2#top",),
+            ("http://b.org/",),
+            ("https://c.org/blog/index.html",),
+            ("https://d.org/a/b/c/d/e?x=1&y=2&z=3",),
+        ],
+        ["url"],
+    )
+    got = {r.host: r for r in url_features(df).collect()}
+    a = got["a.org"]
+    # canonical: https://a.org/Docs/Guide/x?page=2
+    assert (a.path_depth, a.n_params, a.is_https, a.is_index) == (3, 1, True, False)
+    assert a.path_len == len("/Docs/Guide/x")
+    b = got["b.org"]
+    assert (b.path_depth, b.is_https, b.is_index, b.n_params) == (0, False, True, 0)
+    c = got["c.org"]
+    assert c.is_index and c.path_depth == 2
+    d = got["d.org"]
+    assert d.path_depth == 5 and d.n_params == 3
