@@ -76,16 +76,18 @@ _LANGS = ("en", "en", "en", "en", "en", "en", "de", "es", "fr", "en")
 _EPOCH = np.datetime64("2025-01-01T00:00:00")
 
 
-def _gen_doc(seed: int, i: int):
+def _gen_doc(seed: int, i: int, n_docs: int = 0):
     """One deterministic document: (url, warc_ts, html, text, lang).
 
     In-content outlinks: a deterministic subset of words is wrapped in
-    ``<a href>`` anchors pointing at other synthetic pages (Zipf-hot
-    targets — low site ids collect most inlinks, like real crawl
-    graphs).  Anchors wrap EXISTING words, so tag-stripping extraction
-    stays byte-identical to the ``text`` column (the input_hint
-    invariant); ~1/4 of hrefs are site-relative paths to exercise link
-    resolution.
+    ``<a href>`` anchors pointing at other synthetic pages by ORDINAL
+    (Zipf-hot — page 0 is the corpus "homepage" and collects most
+    inlinks, like real crawl graphs).  When ``n_docs`` is known,
+    targets are drawn mostly inside the corpus (so the anchor → page
+    join is populated) with a tail of dangling out-of-corpus targets;
+    anchors wrap EXISTING words, so tag-stripping extraction stays
+    byte-identical to the ``text`` column (the input_hint invariant);
+    ~1/4 of hrefs are site-relative paths to exercise link resolution.
     """
     rng = np.random.default_rng([seed, i])
     lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
@@ -110,13 +112,16 @@ def _gen_doc(seed: int, i: int):
             for w in words:
                 ew = _htmlmod.escape(w)
                 if rng.random() < 0.08:
-                    # Zipf-hot link target; occasionally site-relative
-                    site = min(int(rng.zipf(1.5)) - 1, 996)
-                    page = int(rng.integers(0, 100_000))
+                    # Zipf-hot target ordinal; 10% dangling tail when
+                    # the corpus size is known
+                    cap = (n_docs * 10 if n_docs else 100_000) - 1
+                    t = min(int(rng.zipf(1.3)) - 1, cap)
+                    if n_docs and t >= n_docs and rng.random() < 0.9:
+                        t = t % n_docs
                     if rng.random() < 0.25:
-                        href = f"/page/{page}"
+                        href = f"/page/{t}"
                     else:
-                        href = f"https://site-{site}.example.org/page/{page}"
+                        href = f"https://site-{t % 997}.example.org/page/{t}"
                     ew = f'<a href="{href}">{ew}</a>'
                 html_words.append(ew)
             sents.append(" ".join(words))
@@ -150,7 +155,7 @@ def synthetic_webtext(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_gen_doc(seed, int(i)) for i in pdf["id"]]
+            rows = [_gen_doc(seed, int(i), n_docs) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
@@ -209,7 +214,11 @@ def read_webtext(spark: SparkSession, path_or_table: str) -> DataFrame:
     return spark.read.parquet(path_or_table)
 
 
-def ingest_webtext(df: DataFrame) -> DataFrame:
+def ingest_webtext(
+    df: DataFrame,
+    with_anchors: bool = False,
+    max_anchors_per_target: Optional[int] = 64,
+) -> DataFrame:
     """Webtext table -> engine document table.
 
     ``doc_id = xxhash64(url)`` (stable distributed identity — see
@@ -217,9 +226,38 @@ def ingest_webtext(df: DataFrame) -> DataFrame:
     columns; ``html`` is dropped (stored-not-indexed analog).  Feed the
     result to :func:`caterpillar_spark.framing.build_frames` with
     ``metadata_cols=["lang"]`` (and/or ``warc_ts``).
+
+    ``with_anchors=True`` adds the web-ranking field: each page's
+    INCOMING anchor text (extracted from the corpus' stored HTML,
+    rolled up per target with the hot-page star cap, joined back by
+    URL; pages with no inlinks get ``''``).  Feed
+    ``text_cols=["text", "anchor"]`` plus
+    ``field_boosts={"anchor": w}`` at query time for BM25F-over-
+    anchors retrieval.  Cost: the extraction pass + one dst-keyed
+    rollup + one url-keyed join — no change to the text path.
     """
     from caterpillar_spark.framing import with_doc_id
 
-    return with_doc_id(df, "url").select(
+    out = with_doc_id(df, "url").select(
         "doc_id", "url", "text", "lang", "warc_ts"
     )
+    if with_anchors:
+        from caterpillar_spark.ops.linkgraph import (
+            anchor_text_rollup,
+            extract_anchor_texts,
+        )
+
+        anchors = anchor_text_rollup(
+            extract_anchor_texts(df),
+            max_anchors_per_target=max_anchors_per_target,
+        ).select(
+            F.col("dst_url").alias("url"),
+            F.col("anchor_text").alias("anchor"),
+            "n_anchors",
+        )
+        out = out.join(anchors, "url", "left").select(
+            "doc_id", "url", "text", "lang", "warc_ts",
+            F.coalesce("anchor", F.lit("")).alias("anchor"),
+            F.coalesce("n_anchors", F.lit(0)).alias("n_anchors"),
+        )
+    return out

@@ -34,8 +34,10 @@ def test_linkgraph_job_end_to_end(tmp_path, spark):
     assert metrics["pages"] == 250
     assert metrics["hosts"] > 0 and metrics["host_edges"] > 0
     assert metrics["links"] >= metrics["host_edges"]
-    # Zipf-hot head: site-0 collects the most inlinks
-    assert metrics["top_hosts"][0]["host"] == "site-0.example.org"
+    # Zipf-hot head: one of the lowest-ordinal sites tops the ranking
+    assert metrics["top_hosts"][0]["host"] in {
+        "site-0.example.org", "site-1.example.org", "site-2.example.org"
+    }
 
     pr = spark.read.parquet(f"{out}/pagerank")
     assert pr.agg(F.sum("rank")).collect()[0][0] == pytest.approx(1.0, abs=1e-6)

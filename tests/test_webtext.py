@@ -82,3 +82,37 @@ def test_ingest_to_query_end_to_end(spark):
         metadata={"lang": {"=": "en"}},
     )
     assert en_only.count() > 0
+
+
+def test_ingest_webtext_with_anchors(spark):
+    """with_anchors=True attaches each page's incoming anchor text as
+    a second TEXT field; a BM25F search over (text, anchor) retrieves
+    through it end-to-end."""
+    from pyspark.sql import functions as F
+
+    from caterpillar_spark.framing import build_frames
+    from caterpillar_spark.query import MemoryIndex, search
+    from caterpillar_spark.sources import ingest_webtext, synthetic_webtext
+
+    web = synthetic_webtext(spark, n_docs=200, seed=13).cache()
+    docs = ingest_webtext(web, with_anchors=True).cache()
+    assert {"anchor", "n_anchors"} <= set(docs.columns)
+    linked = docs.where(F.col("n_anchors") > 0)
+    n_linked = linked.count()
+    assert n_linked > 0
+    # anchors wrap corpus words, so every non-empty anchor field is
+    # whitespace-joined words
+    assert linked.where(F.col("anchor") == "").count() == 0
+    # end-to-end: pick a word from some page's anchor field and search
+    # the anchor field with a boost; that page must be retrieved
+    row = linked.select("doc_id", "anchor").first()
+    term = row.anchor.split(" ")[0].lower().strip(".")
+    idx = MemoryIndex(build_frames(
+        docs.select("doc_id", "text", "anchor"),
+        text_cols=["text", "anchor"], frame_size=0,
+    ))
+    hits = search(idx, k=1000, unit="document", should=[term],
+                  scorer="bm25_doc", field_boosts={"anchor": 2.0})
+    assert row.doc_id in {r.doc_id for r in hits.collect()}
+    web.unpersist()
+    docs.unpersist()
