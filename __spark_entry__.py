@@ -1276,6 +1276,38 @@ def q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(_sitemaps(spark, sf_dir))
 
 
+def q_robots_frontier(spark, sf_dir):
+    """robots.txt-filtered frontier (RFC 9309 prefix subset): every
+    host serves 'Disallow: /docs/1' + the longer 'Allow: /docs/12',
+    plus a badbot-only group; the crawler 'goodbot' falls to the *
+    group, so pages whose number starts with 1 are dropped unless it
+    starts with 12 (longest-prefix + Allow tie-break).  The oracle
+    reproduces the DECISIONS with LIKE predicates straight from the
+    rule text — independent of the parser and the join/window
+    machinery (ops/robots.py)."""
+    from caterpillar_spark.ops import parse_robots, robots_filter
+
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host")
+    ).distinct()
+    robots = hosts.select(
+        "host",
+        F.lit(
+            "User-agent: *\nDisallow: /docs/1\nAllow: /docs/12\n"
+            "\nUser-agent: badbot\nDisallow: /\n"
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+            (F.col("doc_id") % 200).cast("string"),
+        ).alias("url")
+    ).distinct()
+    return robots_filter(urls, rules, agent="goodbot")
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Next crawl round's frontier: distinct link targets not yet in
     the crawled set, capped at 3 per host (politeness budget) in
@@ -1393,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "template_fingerprints": q_template_fingerprints,
         "sitemap_urls": q_sitemap_urls,
+        "robots_frontier": q_robots_frontier,
     }
 
 
@@ -3083,6 +3116,15 @@ SELECT 'https://' || source || '.example.org/sitemap-' || (doc_id % 7)
        'https://' || source || '.example.org/docs/'
            || ((doc_id * 5 + 2) % 50) AS dst_url
 FROM documents
+""",
+        # Decisions straight from the rule text: page numbers starting
+        # '1' blocked unless starting '12' (longer Allow wins).
+        "robots_frontier": """
+SELECT DISTINCT
+       'https://' || source || '.example.org/docs/' || (doc_id % 200) AS url
+FROM documents
+WHERE NOT ((doc_id % 200)::VARCHAR LIKE '1%'
+           AND NOT (doc_id % 200)::VARCHAR LIKE '12%')
 """,
     }
 

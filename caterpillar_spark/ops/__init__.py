@@ -68,6 +68,10 @@ from caterpillar_spark.ops.linkgraph import (
     host_reciprocity,
     extract_sitemap_urls,
 )
+from caterpillar_spark.ops.robots import (
+    parse_robots,
+    robots_filter,
+)
 from caterpillar_spark.ops.similarity import (
     cosine_topk,
     embedding_lsh_candidates,
@@ -120,6 +124,8 @@ __all__ = [
     "crawl_frontier",
     "host_reciprocity",
     "extract_sitemap_urls",
+    "parse_robots",
+    "robots_filter",
     "cosine_topk",
     "embedding_lsh_candidates",
     "embedding_near_dups",
