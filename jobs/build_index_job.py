@@ -44,6 +44,10 @@ def main() -> int:
     ap.add_argument("--num-buckets", type=int, default=32)
     ap.add_argument("--block-bits", type=int, default=6)
     ap.add_argument("--checkpoint-groups", type=int, default=4)
+    ap.add_argument("--with-anchors", action="store_true",
+                    help="extract each page's incoming anchor text from "
+                         "the corpus HTML and index it as a second TEXT "
+                         "field (BM25F-over-anchors at query time)")
     ap.add_argument("--with-positions", action="store_true",
                     help="also write the compressed positions layout "
                     "(phrase/ngram search over varint position streams)")
@@ -123,8 +127,11 @@ def main() -> int:
     # strand the framing stage on a few tasks.  html is dropped by
     # ingest first so the shuffle moves only what indexing needs.
     par = spark.sparkContext.defaultParallelism
-    docs = ingest_webtext(web).repartition(par * 4)
-    frames = build_frames(docs, metadata_cols=["lang"])
+    docs = ingest_webtext(web, with_anchors=args.with_anchors).repartition(
+        par * 4
+    )
+    text_cols = ["text", "anchor"] if args.with_anchors else ["text"]
+    frames = build_frames(docs, text_cols=text_cols, metadata_cols=["lang"])
     idx = build_index(
         frames,
         args.index_path,
