@@ -53,6 +53,16 @@ def main() -> int:
                     help="also roll up per-target anchor text")
     ap.add_argument("--max-anchors", type=int, default=64,
                     help="hot-page star cap for the anchor rollup")
+    ap.add_argument("--frontier", action="store_true",
+                    help="also emit the next crawl round's URL set "
+                         "(targets not in this corpus)")
+    ap.add_argument("--max-per-host", type=int, default=1000,
+                    help="frontier politeness cap per host")
+    ap.add_argument("--robots", default="",
+                    help="parquet of (host, robots_txt) to filter the "
+                         "frontier with (RFC 9309 prefix subset)")
+    ap.add_argument("--agent", default="caterpillar",
+                    help="crawler user-agent for robots matching")
     ap.add_argument("--cores", type=int, default=0,
                     help="local[N] for local runs; 0 = spark-submit's cluster")
     args = ap.parse_args()
@@ -121,6 +131,21 @@ def main() -> int:
         )
         roll.write.mode("overwrite").parquet(f"{args.output}/anchors")
         metrics["anchor_targets"] = roll.count()
+
+    if args.frontier:
+        from caterpillar_spark.ops import crawl_frontier
+
+        frontier = crawl_frontier(
+            links, pages.select("url"), max_per_host=args.max_per_host
+        )
+        metrics["frontier_raw"] = frontier.count()
+        if args.robots:
+            from caterpillar_spark.ops import parse_robots, robots_filter
+
+            rules = parse_robots(spark.read.parquet(args.robots))
+            frontier = robots_filter(frontier, rules, agent=args.agent)
+            metrics["frontier_allowed"] = frontier.count()
+        frontier.write.mode("overwrite").parquet(f"{args.output}/frontier")
 
     edges.unpersist()
     metrics["wall_sec"] = round(time.time() - t0, 2)

@@ -15,9 +15,19 @@ def test_linkgraph_job_end_to_end(tmp_path, spark):
 
     from caterpillar_spark.sources.webtext import synthetic_webtext
 
+    from pyspark.sql import functions as FF
+
     crawl = str(tmp_path / "web.parquet")
+    robots = str(tmp_path / "robots.parquet")
     out = str(tmp_path / "graph")
-    synthetic_webtext(spark, n_docs=250, seed=21).write.parquet(crawl)
+    web = synthetic_webtext(spark, n_docs=250, seed=21)
+    web.write.parquet(crawl)
+    # every site disallows /page/1* for everyone
+    web.select(
+        FF.regexp_extract("url", "://([^/]+)", 1).alias("host")
+    ).distinct().select(
+        "host", FF.lit("User-agent: *\nDisallow: /page/1\n").alias("robots_txt")
+    ).write.parquet(robots)
 
     env = dict(os.environ, PYTHONPATH="/root/repo")
     proc = subprocess.run(
@@ -26,6 +36,7 @@ def test_linkgraph_job_end_to_end(tmp_path, spark):
             "--input", crawl, "--output", out,
             "--iterations", "4", "--hits", "--anchors",
             "--max-anchors", "3", "--cores", "4",
+            "--frontier", "--robots", robots, "--agent", "testbot",
         ],
         capture_output=True, text=True, env=env, timeout=600,
     )
@@ -57,3 +68,19 @@ def test_linkgraph_job_end_to_end(tmp_path, spark):
         F.size(F.split("anchor_text", " ")) > 3
     ).count()
     assert over == 0
+    # frontier: new URLs only, robots-filtered (no /page/1* survivors),
+    # counts consistent with the metrics line
+    frontier = spark.read.parquet(f"{out}/frontier")
+    assert frontier.count() == metrics["frontier_allowed"]
+    assert metrics["frontier_allowed"] <= metrics["frontier_raw"]
+    # hosts WITH robots rules have no /page/1* survivors; hosts without
+    # rules (dangling targets) are rightly allowed through
+    ruled = spark.read.parquet(robots).select("host")
+    assert (
+        frontier.join(ruled, "host", "inner")
+        .where(F.col("url").rlike("/page/1"))
+        .count()
+        == 0
+    )
+    crawled = spark.read.parquet(crawl).select("url")
+    assert frontier.join(crawled, "url", "inner").count() == 0

@@ -21,14 +21,13 @@ from caterpillar_spark.streaming import (
 def landing(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("stream")
     land = str(root / "landing")
-    # two deterministic file-batches: docs 0..149 then 150..299 (the
-    # generator is keyed on (seed, ordinal), so the first 150 of the
-    # 300-doc corpus are exactly batch A)
-    a = synthetic_webtext(spark, 150, seed=21, partitions=1)
-    a_urls = [r["url"] for r in a.select("url").collect()]
-    b = synthetic_webtext(spark, 300, seed=21, partitions=1).where(
-        ~F.col("url").isin(a_urls)
-    )
+    # two deterministic file-batches: ONE 300-doc corpus split by page
+    # ordinal (generation depends on the corpus size since link targets
+    # are drawn inside it, so batches must come from the same corpus)
+    full = synthetic_webtext(spark, 300, seed=21, partitions=1)
+    ordinal = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("int")
+    a = full.where(ordinal < 150)
+    b = full.where(ordinal >= 150)
     a.coalesce(1).write.mode("append").parquet(land)
     b.coalesce(1).write.mode("append").parquet(land)
     return root, land
