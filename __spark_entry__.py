@@ -1148,6 +1148,22 @@ def q_pagerank(spark, sf_dir):
     return pr.select("host", F.round("rank", 6).alias("rank"))
 
 
+def q_trustrank(spark, sf_dir):
+    """Seed-personalized PageRank (TrustRank): the random surfer
+    restarts at two trusted hosts, so rank concentrates in their link
+    neighbourhood — the classic spam-demotion bias.  Same execution
+    shape as pagerank with a per-node teleport column
+    (ops/linkgraph.py)."""
+    from caterpillar_spark.ops import extract_links, host_link_edges, pagerank
+
+    edges = host_link_edges(extract_links(_linkhtml(spark, sf_dir)))
+    pr = pagerank(
+        edges, iterations=5,
+        teleport=["src0.example.org", "src1.example.org"],
+    )
+    return pr.select("host", F.round("rank", 6).alias("rank"))
+
+
 def q_hits_scores(spark, sf_dir):
     """Kleinberg HITS hub/authority scores over the synthetic host
     graph, 5 fixed iterations with L2 normalization — the other classic
@@ -1418,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_rollup": q_anchor_rollup,
         "host_degree": q_host_degree,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "hits_scores": q_hits_scores,
         "authority_topk": q_authority_topk,
         "crawl_frontier": q_crawl_frontier,
@@ -1532,6 +1549,45 @@ def _pagerank_sql(iterations: int, damping: float) -> str:
         "WITH " + _pagerank_ctes(iterations, damping) + "\n"
         + f"SELECT host, round(rank, 6) AS rank FROM r{iterations}\n"
     )
+
+
+def _trustrank_sql(iterations: int, damping: float, seeds: tuple) -> str:
+    """Unrolled seed-personalized PageRank over the _linkhtml() host
+    graph: rank'(v) = (1-d)·tp(v) + d·Σ_in(p·rank) with teleport tp
+    uniform over the seeds (the graph has no dangling hosts, so the
+    dangling·tp term is zero on both sides)."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    share = f"(1.0 / {len(seeds)})"
+    parts = [
+        f"WITH {_LINK_EDGES_SQL},",
+        f"""nodes AS (
+    SELECT host,
+           CASE WHEN host IN ({seed_list}) THEN {share} ELSE 0.0 END AS v
+    FROM (
+        SELECT DISTINCT src_host AS host FROM edges
+        UNION
+        SELECT DISTINCT dst_host FROM edges
+    )
+),
+trans AS (
+    SELECT src_host, dst_host,
+           n_links::DOUBLE / sum(n_links) OVER (PARTITION BY src_host) AS p
+    FROM edges
+),
+r0 AS (SELECT host, v AS rank FROM nodes),""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f"""r{k} AS (
+    SELECT nd.host,
+           (1.0 - {damping}) * nd.v
+             + {damping} * coalesce(sum(t.p * r.rank), 0.0) AS rank
+    FROM nodes nd
+    LEFT JOIN trans t ON t.dst_host = nd.host
+    LEFT JOIN r{k - 1} r ON r.host = t.src_host
+    GROUP BY nd.host, nd.v
+),""")
+    body = "\n".join(parts).rstrip(",\n") + "\n"
+    return body + f"SELECT host, round(rank, 6) AS rank FROM r{iterations}\n"
 
 
 def _hits_sql(iterations: int) -> str:
@@ -2950,6 +3006,10 @@ SELECT coalesce(o.host, i.host) AS host,
 FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
 """,
         "pagerank": _pagerank_sql(iterations=5, damping=0.85),
+        "trustrank": _trustrank_sql(
+            iterations=5, damping=0.85,
+            seeds=("src0.example.org", "src1.example.org"),
+        ),
         "anchor_texts": """
 SELECT 'https://' || source || '.example.org/docs/' || (doc_id % 200) AS url,
        'https://src' || ((doc_id * 7 + 3) % 20) || '.example.org/docs/'

@@ -252,6 +252,7 @@ def pagerank(
     iterations: int = 10,
     init_ranks: Optional[DataFrame] = None,
     tol: Optional[float] = None,
+    teleport: Optional[object] = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list — fixed-iteration power
     method, the crawl-prioritization / domain-authority signal.
@@ -279,6 +280,14 @@ def pagerank(
     of a round falls below it (one extra O(1) scalar per round).  The
     fixed-point is start-independent, so warm-started results converge
     to the same ranks as cold ones.
+
+    Personalized / TrustRank: pass ``teleport`` as a list of seed
+    hosts (uniform teleport over the seeds present in the graph) or a
+    ``(host, weight)`` DataFrame (normalized to mass 1) — the random
+    surfer then restarts at the trusted seeds instead of uniformly,
+    and dangling mass flows back to them.  Rank concentrates in the
+    seeds' link neighbourhood: the classic spam-demotion /
+    crawl-prioritization bias (Gyöngyi et al., TrustRank).
     """
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
@@ -315,6 +324,34 @@ def pagerank(
     # a driver round-trip per round — is skipped outright
     n_dangling = dangling_nodes.count()
 
+    # teleport vector: None = uniform (kept on the scalar fast path);
+    # else a per-node _v column with mass 1 over the seeds
+    nodes_v = None
+    if teleport is not None:
+        if isinstance(teleport, DataFrame):
+            tv = teleport.select(
+                F.col(teleport.columns[0]).alias("host"),
+                F.col(teleport.columns[1]).cast("double").alias("_tw"),
+            )
+        else:
+            seeds = list(teleport)
+            if not seeds:
+                raise ValueError("teleport seed set is empty")
+            tv = (
+                nodes.sparkSession.createDataFrame(
+                    [(s,) for s in seeds], ["host"]
+                ).withColumn("_tw", F.lit(1.0))
+            )
+        joined_v = nodes.join(tv, "host", "left").select(
+            "host", F.coalesce("_tw", F.lit(0.0)).alias("_tw")
+        )
+        tmass = joined_v.agg(F.sum("_tw")).collect()[0][0] or 0.0
+        if tmass <= 0:
+            raise ValueError("no teleport seed is present in the graph")
+        nodes_v = joined_v.select(
+            "host", (F.col("_tw") / F.lit(tmass)).alias("_v")
+        ).localCheckpoint()
+
     if init_ranks is not None:
         warm = nodes.join(
             init_ranks.select("host", F.col("rank").alias("_r0")),
@@ -327,6 +364,8 @@ def pagerank(
         ranks = warm.select(
             "host", (F.col("rank") / F.lit(total)).alias("rank")
         ).localCheckpoint()
+    elif nodes_v is not None:
+        ranks = nodes_v.select("host", F.col("_v").alias("rank"))
     else:
         ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
@@ -345,18 +384,32 @@ def pagerank(
             .groupBy("host")
             .agg(F.sum("c").alias("c"))
         )
-        base = (1.0 - damping) / n + damping * dm / n
         prev = ranks
-        ranks = (
-            nodes.join(contrib, "host", "left")
-            .select(
-                "host",
-                (F.lit(base)
-                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                 ).alias("rank"),
+        if nodes_v is not None:
+            # rank' = (1-d)·v + d·(contrib + dm·v)
+            fac = (1.0 - damping) + damping * dm
+            ranks = (
+                nodes_v.join(contrib, "host", "left")
+                .select(
+                    "host",
+                    (F.lit(fac) * F.col("_v")
+                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                     ).alias("rank"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
+        else:
+            base = (1.0 - damping) / n + damping * dm / n
+            ranks = (
+                nodes.join(contrib, "host", "left")
+                .select(
+                    "host",
+                    (F.lit(base)
+                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                     ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
         if tol is not None:
             delta = (
                 ranks.join(
