@@ -1148,6 +1148,20 @@ def q_pagerank(spark, sf_dir):
     return pr.select("host", F.round("rank", 6).alias("rank"))
 
 
+def q_host_quality(spark, sf_dir):
+    """Per-host link-quality decision table: degree + reciprocity +
+    PageRank in one relation — what a crawl-budget or domain-mix
+    decision joins against (ops/linkgraph.py host_quality)."""
+    from caterpillar_spark.ops import extract_links, host_link_edges, host_quality
+
+    edges = host_link_edges(extract_links(_linkhtml(spark, sf_dir)))
+    q = host_quality(edges, iterations=5)
+    return q.select(
+        "host", "out_hosts", "out_links", "in_hosts", "in_links",
+        "reciprocity", F.round("rank", 6).alias("rank"),
+    )
+
+
 def q_trustrank(spark, sf_dir):
     """Seed-personalized PageRank (TrustRank): the random surfer
     restarts at two trusted hosts, so rank concentrates in their link
@@ -1435,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degree": q_host_degree,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
+        "host_quality": q_host_quality,
         "hits_scores": q_hits_scores,
         "authority_topk": q_authority_topk,
         "crawl_frontier": q_crawl_frontier,
@@ -3010,6 +3025,49 @@ FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
             iterations=5, damping=0.85,
             seeds=("src0.example.org", "src1.example.org"),
         ),
+        # Degree + reciprocity + PageRank glued from their own oracle
+        # bodies (the pagerank CTE chain is reused verbatim).
+        "host_quality": "WITH " + _pagerank_ctes(5, 0.85) + """,
+outd AS (
+    SELECT src_host AS host, count(*)::BIGINT AS out_hosts,
+           sum(n_links)::BIGINT AS out_links
+    FROM edges GROUP BY src_host
+),
+ind AS (
+    SELECT dst_host AS host, count(*)::BIGINT AS in_hosts,
+           sum(n_links)::BIGINT AS in_links
+    FROM edges GROUP BY dst_host
+),
+degree AS (
+    SELECT coalesce(o.host, i.host) AS host,
+           coalesce(o.out_hosts, 0)::BIGINT AS out_hosts,
+           coalesce(o.out_links, 0)::BIGINT AS out_links,
+           coalesce(i.in_hosts, 0)::BIGINT AS in_hosts,
+           coalesce(i.in_links, 0)::BIGINT AS in_links
+    FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
+),
+pairs AS (
+    SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges
+),
+recip AS (
+    SELECT src AS host,
+           round(sum(CASE WHEN m THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+               AS reciprocity
+    FROM (
+        SELECT p.src,
+               EXISTS (
+                   SELECT 1 FROM pairs q
+                   WHERE q.src = p.dst AND q.dst = p.src
+               ) AS m
+        FROM pairs p
+    ) GROUP BY src
+)
+SELECT d.host, d.out_hosts, d.out_links, d.in_hosts, d.in_links,
+       rec.reciprocity, round(r.rank, 6) AS rank
+FROM degree d
+LEFT JOIN recip rec ON rec.host = d.host
+LEFT JOIN r5 r ON r.host = d.host
+""",
         "anchor_texts": """
 SELECT 'https://' || source || '.example.org/docs/' || (doc_id % 200) AS url,
        'https://src' || ((doc_id * 7 + 3) % 20) || '.example.org/docs/'

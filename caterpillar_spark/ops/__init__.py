@@ -67,6 +67,7 @@ from caterpillar_spark.ops.linkgraph import (
     crawl_frontier,
     host_reciprocity,
     extract_sitemap_urls,
+    host_quality,
 )
 from caterpillar_spark.ops.robots import (
     parse_robots,
@@ -124,6 +125,7 @@ __all__ = [
     "crawl_frontier",
     "host_reciprocity",
     "extract_sitemap_urls",
+    "host_quality",
     "parse_robots",
     "robots_filter",
     "cosine_topk",

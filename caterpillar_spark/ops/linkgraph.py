@@ -45,6 +45,7 @@ __all__ = [
     "crawl_frontier",
     "host_reciprocity",
     "extract_sitemap_urls",
+    "host_quality",
 ]
 
 # scheme://authority of the source page, for resolving absolute paths
@@ -665,4 +666,32 @@ def extract_sitemap_urls(
     return (
         df.select(F.col(url_col).alias("url"), F.explode(locs).alias("dst_url"))
         .where(F.col("dst_url").rlike("^https?://"))
+    )
+
+
+def host_quality(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """One per-host decision table with every link signal this module
+    computes: ``(host, out_hosts, out_links, in_hosts, in_links,
+    reciprocity, rank)`` — the table a crawl-budget or domain-mix
+    decision actually joins against.
+
+    Composition of :func:`host_degree`, :func:`host_reciprocity`
+    (NULL for hosts with no out-edges — unknown, not zero) and
+    :func:`pagerank`; two host-keyed left joins on top of the
+    members' own shapes.
+    """
+    deg = host_degree(edges)
+    rec = host_reciprocity(edges).select("host", "reciprocity")
+    pr = pagerank(edges, damping=damping, iterations=iterations)
+    return (
+        deg.join(rec, "host", "left")
+        .join(pr, "host", "left")
+        .select(
+            "host", "out_hosts", "out_links", "in_hosts", "in_links",
+            "reciprocity", "rank",
+        )
     )
