@@ -65,6 +65,7 @@ from caterpillar_spark.ops.linkgraph import (
     hits,
     authority_boost,
     crawl_frontier,
+    cap_per_host,
     host_reciprocity,
     extract_sitemap_urls,
     host_quality,
@@ -123,6 +124,7 @@ __all__ = [
     "hits",
     "authority_boost",
     "crawl_frontier",
+    "cap_per_host",
     "host_reciprocity",
     "extract_sitemap_urls",
     "host_quality",

@@ -43,6 +43,7 @@ __all__ = [
     "hits",
     "authority_boost",
     "crawl_frontier",
+    "cap_per_host",
     "host_reciprocity",
     "extract_sitemap_urls",
     "host_quality",
@@ -85,7 +86,10 @@ def extract_links(
     dst = (
         F.when(F.col("_href").rlike("^https?://"), F.col("_href"))
         .when(
-            F.col("_href").startswith("/"),
+            # a site-absolute path only resolves when the source url
+            # yielded a real scheme://authority (a malformed row's
+            # empty origin must not emit a scheme-less dst)
+            (F.col("_origin") != "") & F.col("_href").startswith("/"),
             F.concat(F.col("_origin"), F.col("_href")),
         )
     )
@@ -100,10 +104,11 @@ _ANCHOR_RE = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
 
 def _resolve_dst(href: Column, origin: Column) -> Column:
     """Absolute http(s) hrefs pass through; site-absolute paths resolve
-    against the page's scheme+authority; everything else is NULL."""
+    against the page's scheme+authority (when one parsed); everything
+    else is NULL."""
     return (
         F.when(href.rlike("^https?://"), href)
-        .when(href.startswith("/"), F.concat(origin, href))
+        .when((origin != "") & href.startswith("/"), F.concat(origin, href))
     )
 
 
@@ -330,12 +335,18 @@ def pagerank(
     nodes_v = None
     if teleport is not None:
         if isinstance(teleport, DataFrame):
-            tv = teleport.select(
-                F.col(teleport.columns[0]).alias("host"),
-                F.col(teleport.columns[1]).cast("double").alias("_tw"),
+            # dedupe by host (summing weights) so a repeated seed can
+            # never fan out node rows through the iteration joins
+            tv = (
+                teleport.select(
+                    F.col(teleport.columns[0]).alias("host"),
+                    F.col(teleport.columns[1]).cast("double").alias("_tw"),
+                )
+                .groupBy("host")
+                .agg(F.sum("_tw").alias("_tw"))
             )
         else:
-            seeds = list(teleport)
+            seeds = list(dict.fromkeys(teleport))
             if not seeds:
                 raise ValueError("teleport seed set is empty")
             tv = (
@@ -526,6 +537,7 @@ def authority_boost(
     score_col: str = "score",
     weight: float = 1.0,
     out_col: str = "boosted_score",
+    broadcast_priors: bool = True,
 ) -> DataFrame:
     """Fuse a static authority prior (e.g. host PageRank) into a scored
     result set — the domain-authority re-ranking step of a web search
@@ -535,18 +547,21 @@ def authority_boost(
 
     Rows with no prior (unknown host) keep their raw score.  The max
     normalizer is one O(1) scalar broadcast (crossJoin of a 1-row
-    aggregate, JVM-only); the prior table joins in by ``on`` — at scale
-    a broadcast join when priors fit (hosts, not pages), else a hash
-    join keyed by the result set, which is already top-k-bounded in the
-    rank-then-rerank pattern this composes with.
+    aggregate, JVM-only).  ``broadcast_priors`` hints the prior join
+    broadcast — right for host-keyed priors; pass ``False`` for a
+    page-level prior table too big to broadcast, which degrades to a
+    shuffled hash join (the scored side is top-k-bounded in the
+    rank-then-rerank pattern this composes with).
     """
     mx = priors.agg(F.max(F.col(prior_col)).alias("_mx"))
     p = priors.crossJoin(F.broadcast(mx)).select(
         F.col(on),
         (F.col(prior_col) / F.col("_mx")).alias("_prior_norm"),
     )
+    if broadcast_priors:
+        p = F.broadcast(p)
     return (
-        results.join(F.broadcast(p), on, "left")
+        results.join(p, on, "left")
         .withColumn(
             out_col,
             F.col(score_col)
@@ -588,13 +603,28 @@ def crawl_frontier(
         "left_anti",
     ).select("url", host_of(F.col("url")).alias("host"))
     if max_per_host is not None:
-        w = Window.partitionBy("host").orderBy(F.md5("url"), "url")
-        new = (
-            new.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_per_host)
-            .drop("_rn")
-        )
+        new = cap_per_host(new, max_per_host)
     return new
+
+
+def cap_per_host(
+    urls: DataFrame,
+    max_per_host: int,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep the ``max_per_host`` md5-smallest URLs per host — the
+    politeness/budget cap, exposed so pipelines can apply it AFTER
+    other frontier filters (robots etc.) so filtered-out URLs don't
+    consume a host's slots.  Deterministic under any partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(F.md5(url_col), url_col)
+    return (
+        urls.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_per_host)
+        .drop("_rn")
+    )
 
 
 def host_reciprocity(

@@ -146,19 +146,18 @@ def robots_filter(
         .select("host", "allow", "prefix")
     )
 
+    # RFC 9309 match target: path + optional ?query with '/' as the
+    # default path — 'https://h?q=1' must match rules as '/?q=1'
+    raw_path = F.regexp_extract(
+        F.col(url_col),
+        r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^#]*)",
+        1,
+    )
     u = urls.withColumn("_host", host_of(F.col(url_col))).withColumn(
         "_path",
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract(
-                    F.col(url_col),
-                    r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^#]*)",
-                    1,
-                ),
-                F.lit(""),
-            ),
-            F.lit("/"),
-        ),
+        F.when(raw_path == "", F.lit("/"))
+        .when(raw_path.startswith("/"), raw_path)
+        .otherwise(F.concat(F.lit("/"), raw_path)),
     )
     applicable = applicable.select(
         F.col("host").alias("_r_host"),

@@ -59,11 +59,13 @@ def canonical_url(url: Column) -> Column:
        is significant on most origins and is preserved);
     2. strip the ``#fragment``;
     3. strip tracking query params (``utm_*``, ``fbclid``, ``gclid``,
-       ``msclkid``) with their separator, then repair a query string
-       that lost its leading ``?`` (the ``^([^?]*)&`` pattern is
-       anchored, so the global replace fires at most once);
+       ``msclkid``) with their separator; the leading-``?`` repair
+       runs ONLY when the stripped param was in first position (so a
+       literal ``&`` in a query-less path is never rewritten);
     4. strip default ports (``https://h:443``, ``http://h:80``);
-    5. strip trailing slashes.
+    5. strip trailing slashes — from the end of the PATH: before the
+       ``?`` when a query is present, else at the end of the URL (a
+       query value ending in ``/`` is preserved).
 
     ``www.``-stripping and path-case folding are deliberately NOT
     applied: they change page identity on enough real origins that a
@@ -73,11 +75,18 @@ def canonical_url(url: Column) -> Column:
     prefix = F.regexp_extract(url, _PREFIX_RE, 0)
     u = F.concat(F.lower(prefix), F.substr(url, F.length(prefix) + F.lit(1)))
     u = F.regexp_replace(u, r"#.*$", "")
+    first_param_tracking = u.rlike(
+        r"\?(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*"
+    )
     u = F.regexp_replace(u, _TRACKING_RE, "")
-    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
+    u = F.when(
+        first_param_tracking, F.regexp_replace(u, r"^([^?]*)&", r"$1?")
+    ).otherwise(u)
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443($|[/?#])", r"$1$2")
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80($|[/?#])", r"$1$2")
-    u = F.regexp_replace(u, r"/+$", "")
+    u = F.when(
+        u.contains("?"), F.regexp_replace(u, r"/+\?", "?")
+    ).otherwise(F.regexp_replace(u, r"/+$", ""))
     return u
 
 
@@ -139,7 +148,11 @@ def host_filter(
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
     host = host_of(F.col(url_col))
-    if not isinstance(blocklist, DataFrame) and len(list(blocklist)) > 32:
+    if not isinstance(blocklist, DataFrame):
+        # materialize once: a one-shot iterable must not be exhausted
+        # by the size probe below
+        blocklist = list(blocklist)
+    if not isinstance(blocklist, DataFrame) and len(blocklist) > 32:
         blocklist = df.sparkSession.createDataFrame(
             [(h,) for h in blocklist], ["host"]
         )
@@ -177,7 +190,7 @@ def host_filter(
             )
             .drop("_hf_host")
         )
-    if not list(blocklist):
+    if not blocklist:
         return df if mode == "block" else df.limit(0)
     entries_lit = F.lit([h.lower() for h in blocklist])
     hit = F.arrays_overlap(host_suffixes(host), entries_lit)

@@ -9,13 +9,26 @@ degree then run on the merged view; :func:`compact_link_edges` folds
 deltas into the base periodically, exactly like the statistics
 compaction.
 
-Idempotency: each delta lands in its own ``batch_id=N`` partition via
-dynamic partition overwrite, so a replayed micro-batch (Structured
-Streaming's at-least-once ``foreachBatch``) overwrites its own
-partition with identical content instead of double-counting.
-Compaction takes the shared writer lock (indexing/lock.py) and
-records the folded batch ids in a ledger file so a replay of an
-already-compacted batch is dropped.
+Consistency model (crash-safe at every step):
+
+* The LEDGER file (atomic ``os.replace``) is the single source of
+  truth: it names the current base directory (versioned,
+  ``base_v{N}``) and the set of batch ids already folded into it.
+* Appends: each delta lands in its own ``batch_id=N`` partition via
+  dynamic partition overwrite, so a replayed micro-batch (Structured
+  Streaming's at-least-once ``foreachBatch``) overwrites its own
+  partition with identical content instead of double-counting; a
+  batch the ledger already folded is skipped outright.
+* Reads (:func:`merged_link_edges`): current base ⊕ deltas whose
+  batch_id is NOT in the ledger.  A crash between compaction steps
+  can therefore never double-count: until the ledger swap, readers
+  use the old base + all deltas; after it, the new base + only
+  unfolded deltas.
+* Compaction: write ``base_v{N+1}``, swap the ledger, then delete
+  ONLY the folded ``batch_id=`` partitions (a delta written by a
+  concurrent micro-batch survives untouched) and the old base.
+  Runs under the shared writer lock (indexing/lock.py) so two
+  compactors serialize.
 
 Scale notes: the per-batch delta is one host-pair aggregation of the
 BATCH (small); the merge-on-read aggregation is edge-keyed (bounded by
@@ -27,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -41,19 +55,30 @@ __all__ = [
     "compact_link_edges",
 ]
 
-_LEDGER = "compacted_batches.json"
+_LEDGER = "link_ledger.json"
 
 
 def _ledger_path(path: str) -> str:
     return os.path.join(path, _LEDGER)
 
 
-def _load_ledger(path: str) -> set:
+def _load_ledger(path: str) -> dict:
     try:
         with open(_ledger_path(path)) as fh:
-            return set(json.load(fh)["batch_ids"])
-    except (OSError, ValueError, KeyError):
-        return set()
+            d = json.load(fh)
+            return {
+                "batch_ids": set(d.get("batch_ids", [])),
+                "base": d.get("base"),
+            }
+    except (OSError, ValueError):
+        return {"batch_ids": set(), "base": None}
+
+
+def _save_ledger(path: str, batch_ids: set, base: Optional[str]) -> None:
+    tmp = _ledger_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batch_ids": sorted(batch_ids), "base": base}, fh)
+    os.replace(tmp, _ledger_path(path))
 
 
 def append_link_batch(
@@ -64,10 +89,10 @@ def append_link_batch(
 
     Idempotent two ways: a replayed batch overwrites its own partition
     with identical content (the extraction is deterministic), and a
-    batch that compaction already folded into the base (ledger) is
-    skipped entirely.
+    batch the ledger already folded into the base is skipped
+    entirely.
     """
-    if batch_id in _load_ledger(path):
+    if batch_id in _load_ledger(path)["batch_ids"]:
         return
     edges = host_link_edges(extract_links(pages)).withColumn(
         "batch_id", F.lit(int(batch_id))
@@ -84,19 +109,30 @@ def append_link_batch(
 
 
 def merged_link_edges(spark: SparkSession, path: str) -> DataFrame:
-    """Exact edge relation = base (compacted) ⊕ deltas, merged on read
-    (link counts are algebraic sums)."""
+    """Exact edge relation = current base ⊕ UNFOLDED deltas, merged on
+    read (link counts are algebraic sums).  Deltas whose batch_id the
+    ledger marks as folded are excluded, so a compaction interrupted
+    between its base write and its delta cleanup never double-counts.
+    """
+    ledger = _load_ledger(path)
     parts = []
-    base = os.path.join(path, "base")
+    if ledger["base"]:
+        base_dir = os.path.join(path, ledger["base"])
+        parts.append(
+            spark.read.parquet(base_dir).select(
+                "src_host", "dst_host", "n_links"
+            )
+        )
     deltas = os.path.join(path, "deltas")
-    if os.path.isdir(base):
-        parts.append(
-            spark.read.parquet(base).select("src_host", "dst_host", "n_links")
-        )
-    if os.path.isdir(deltas):
-        parts.append(
-            spark.read.parquet(deltas).select("src_host", "dst_host", "n_links")
-        )
+    if os.path.isdir(deltas) and any(
+        e.startswith("batch_id=") for e in os.listdir(deltas)
+    ):
+        d = spark.read.parquet(deltas)
+        if ledger["batch_ids"]:
+            d = d.where(
+                ~F.col("batch_id").isin([int(b) for b in ledger["batch_ids"]])
+            )
+        parts.append(d.select("src_host", "dst_host", "n_links"))
     if not parts:
         raise FileNotFoundError(f"no link edges at {path}")
     union = parts[0]
@@ -136,26 +172,61 @@ def start_link_stream(
 
 
 def compact_link_edges(spark: SparkSession, path: str) -> None:
-    """Fold all deltas into the base relation (one shuffle), record
-    their batch ids in the ledger, and drop the delta files.  Takes the
-    shared writer lock; readers using :func:`merged_link_edges` see
-    either base+deltas or the folded base — both exact."""
-    import shutil
-
+    """Fold the currently-visible deltas into a NEW versioned base
+    (one shuffle), swap the ledger atomically, then delete only the
+    folded delta partitions and the old base.  Readers are exact at
+    every intermediate state (see module docstring); a delta written
+    concurrently by a streaming micro-batch is not touched.  Takes the
+    shared writer lock so compactors serialize."""
     with write_lock(path):
+        ledger = _load_ledger(path)
         deltas_dir = os.path.join(path, "deltas")
         if not os.path.isdir(deltas_dir):
             return
-        deltas = spark.read.parquet(deltas_dir)
-        batch_ids = sorted(
-            r.batch_id for r in deltas.select("batch_id").distinct().collect()
+        folded = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(deltas_dir)
+            if e.startswith("batch_id=")
         )
-        merged = merged_link_edges(spark, path).localCheckpoint()
-        base_dir = os.path.join(path, "base")
-        merged.write.mode("overwrite").parquet(base_dir)
-        ledger = _load_ledger(path) | set(int(b) for b in batch_ids)
-        tmp = _ledger_path(path) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"batch_ids": sorted(ledger)}, fh)
-        os.replace(tmp, _ledger_path(path))
-        shutil.rmtree(deltas_dir, ignore_errors=True)
+        folded = [b for b in folded if b not in ledger["batch_ids"]]
+        if not folded:
+            return
+        # merge EXACTLY the listed batches (not "whatever is visible"):
+        # a delta landing concurrently after this listing must stay out
+        # of the new base, or the ledger would miss it and readers
+        # would double-count it
+        parts = []
+        if ledger["base"]:
+            parts.append(
+                spark.read.parquet(os.path.join(path, ledger["base"]))
+                .select("src_host", "dst_host", "n_links")
+            )
+        parts.append(
+            spark.read.parquet(deltas_dir)
+            .where(F.col("batch_id").isin(folded))
+            .select("src_host", "dst_host", "n_links")
+        )
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        merged = (
+            union.groupBy("src_host", "dst_host")
+            .agg(F.sum("n_links").alias("n_links"))
+            .localCheckpoint()
+        )
+        old_base = ledger["base"]
+        version = (
+            int(old_base.rsplit("_v", 1)[1]) + 1 if old_base else 1
+        )
+        new_base = f"base_v{version}"
+        merged.write.mode("overwrite").parquet(os.path.join(path, new_base))
+        _save_ledger(
+            path, ledger["batch_ids"] | set(folded), new_base
+        )
+        for b in folded:
+            shutil.rmtree(
+                os.path.join(deltas_dir, f"batch_id={b}"),
+                ignore_errors=True,
+            )
+        if old_base:
+            shutil.rmtree(os.path.join(path, old_base), ignore_errors=True)

@@ -133,11 +133,11 @@ def main() -> int:
         metrics["anchor_targets"] = roll.count()
 
     if args.frontier:
-        from caterpillar_spark.ops import crawl_frontier
+        from caterpillar_spark.ops import cap_per_host, crawl_frontier
 
-        frontier = crawl_frontier(
-            links, pages.select("url"), max_per_host=args.max_per_host
-        )
+        # robots runs BEFORE the politeness cap so disallowed URLs
+        # never consume a host's frontier slots
+        frontier = crawl_frontier(links, pages.select("url"))
         metrics["frontier_raw"] = frontier.count()
         if args.robots:
             from caterpillar_spark.ops import parse_robots, robots_filter
@@ -145,7 +145,11 @@ def main() -> int:
             rules = parse_robots(spark.read.parquet(args.robots))
             frontier = robots_filter(frontier, rules, agent=args.agent)
             metrics["frontier_allowed"] = frontier.count()
+        frontier = cap_per_host(frontier, args.max_per_host)
         frontier.write.mode("overwrite").parquet(f"{args.output}/frontier")
+        metrics["frontier_capped"] = (
+            spark.read.parquet(f"{args.output}/frontier").count()
+        )
 
     edges.unpersist()
     metrics["wall_sec"] = round(time.time() - t0, 2)

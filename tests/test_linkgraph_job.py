@@ -71,7 +71,8 @@ def test_linkgraph_job_end_to_end(tmp_path, spark):
     # frontier: new URLs only, robots-filtered (no /page/1* survivors),
     # counts consistent with the metrics line
     frontier = spark.read.parquet(f"{out}/frontier")
-    assert frontier.count() == metrics["frontier_allowed"]
+    assert frontier.count() == metrics["frontier_capped"]
+    assert metrics["frontier_capped"] <= metrics["frontier_allowed"]
     assert metrics["frontier_allowed"] <= metrics["frontier_raw"]
     # hosts WITH robots rules have no /page/1* survivors; hosts without
     # rules (dangling targets) are rightly allowed through

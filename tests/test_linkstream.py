@@ -49,14 +49,32 @@ def test_linkstream_end_to_end(spark, tmp_path):
     append_link_batch(batch_a, path, 0)
     assert _edge_map(merged_link_edges(spark, path)) == want
 
-    # compaction folds deltas into base; merged view identical
+    # compaction folds deltas into a versioned base; merged view
+    # identical; the folded batch partitions are gone
     compact_link_edges(spark, path)
-    assert not os.path.isdir(os.path.join(path, "deltas"))
+    deltas_dir = os.path.join(path, "deltas")
+    assert not os.path.isdir(deltas_dir) or not any(
+        e.startswith("batch_id=") for e in os.listdir(deltas_dir)
+    )
+    assert os.path.isdir(os.path.join(path, "base_v1"))
     assert _edge_map(merged_link_edges(spark, path)) == want
 
     # a replay of a compacted batch is dropped by the ledger
     append_link_batch(batch_a, path, 0)
-    assert not os.path.isdir(os.path.join(path, "deltas"))
+    assert _edge_map(merged_link_edges(spark, path)) == want
+
+    # crash-consistency: even if a folded delta REAPPEARS on disk
+    # (compaction interrupted before its cleanup), the read path
+    # excludes it via the ledger — no double counting
+    import json as _json
+
+    with open(os.path.join(path, "link_ledger.json")) as fh:
+        led = _json.load(fh)
+    assert 0 in led["batch_ids"] and led["base"] == "base_v1"
+    # force-write batch 0's delta again, bypassing the ledger guard
+    from caterpillar_spark.ops import extract_links as _el, host_link_edges as _hle
+    d0 = _hle(_el(batch_a)).withColumn("batch_id", F.lit(0))
+    d0.write.mode("append").partitionBy("batch_id").parquet(deltas_dir)
     assert _edge_map(merged_link_edges(spark, path)) == want
 
     # a genuinely new batch lands as a fresh delta and merges in

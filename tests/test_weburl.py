@@ -214,3 +214,41 @@ def test_url_features(spark):
     assert c.is_index and c.path_depth == 2
     d = got["d.org"]
     assert d.path_depth == 5 and d.n_params == 3
+
+
+def test_canonical_url_review_regressions(spark):
+    """Round-5 review findings: literal '&' in a query-less path must
+    survive; a query value ending in '/' must survive; trailing
+    path slashes before '?' still fold."""
+    from caterpillar_spark.ops import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        # literal & in path, no query: NOT rewritten to '?'
+        ("https://ex.com/news&events", "https://ex.com/news&events"),
+        # tracking param mid-query: no leading-? repair needed/applied
+        ("https://a.org/p?x=1&utm_source=f&y=2", "https://a.org/p?x=1&y=2"),
+        # first-position tracking param: repair fires
+        ("https://a.org/p?utm_source=f&y=2", "https://a.org/p?y=2"),
+        # query value ending in '/': preserved
+        ("https://e.com/login?redirect=/home/", "https://e.com/login?redirect=/home/"),
+        ("https://e.com/p?next=/", "https://e.com/p?next=/"),
+        # trailing path slashes before a query still fold
+        ("https://e.com/p/?x=1", "https://e.com/p?x=1"),
+        # plain trailing slash still folds
+        ("https://e.com/p/", "https://e.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_host_filter_iterable_input(spark):
+    """A one-shot iterable blocklist must work (materialized once)."""
+    from caterpillar_spark.ops import host_filter
+
+    df = spark.createDataFrame(
+        [("https://a.org/1",), ("https://b.org/2",)], ["url"]
+    )
+    out = host_filter(df, iter(["a.org"]), mode="block")
+    assert [r.url for r in out.collect()] == ["https://b.org/2"]
