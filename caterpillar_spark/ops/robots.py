@@ -99,7 +99,9 @@ def parse_robots(
 
     return (
         df.select(
-            F.col(host_col).alias("host"),
+            # the filter side joins on lowercased hostnames (host_of),
+            # so the rules side must store them lowercased too
+            F.lower(F.col(host_col)).alias("host"),
             F.explode(_parse(F.col(robots_col))).alias("_r"),
         )
         .select(

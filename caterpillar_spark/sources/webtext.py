@@ -118,7 +118,11 @@ def _gen_doc(seed: int, i: int, n_docs: int = 0):
                     t = min(int(rng.zipf(1.3)) - 1, cap)
                     if n_docs and t >= n_docs and rng.random() < 0.9:
                         t = t % n_docs
-                    if rng.random() < 0.25:
+                    # site-relative form only when the target really
+                    # lives on THIS page's site — a relative href
+                    # resolves against the source host, so any other
+                    # choice would point at a nonexistent page
+                    if rng.random() < 0.25 and t % 997 == i % 997:
                         href = f"/page/{t}"
                     else:
                         href = f"https://site-{t % 997}.example.org/page/{t}"
@@ -210,7 +214,12 @@ def read_webtext(spark: SparkSession, path_or_table: str) -> DataFrame:
         try:
             return spark.read.format("iceberg").load(path_or_table)
         except Exception:
-            return spark.table(path_or_table)
+            try:
+                return spark.table(path_or_table)
+            except Exception:
+                # a dotted RELATIVE path like 'data.parquet' is a
+                # parquet directory, not a catalog table
+                return spark.read.parquet(path_or_table)
     return spark.read.parquet(path_or_table)
 
 

@@ -63,15 +63,19 @@ def _ledger_path(path: str) -> str:
 
 
 def _load_ledger(path: str) -> dict:
-    try:
-        with open(_ledger_path(path)) as fh:
-            d = json.load(fh)
-            return {
-                "batch_ids": set(d.get("batch_ids", [])),
-                "base": d.get("base"),
-            }
-    except (OSError, ValueError):
+    """Missing ledger = fresh store (empty).  A PRESENT but unreadable
+    ledger raises: it is the single source of truth for which deltas
+    are already folded into which base — failing open would silently
+    drop the whole compacted base from every read."""
+    lp = _ledger_path(path)
+    if not os.path.exists(lp):
         return {"batch_ids": set(), "base": None}
+    with open(lp) as fh:
+        d = json.load(fh)
+    return {
+        "batch_ids": set(d.get("batch_ids", [])),
+        "base": d.get("base"),
+    }
 
 
 def _save_ledger(path: str, batch_ids: set, base: Optional[str]) -> None:
@@ -81,31 +85,41 @@ def _save_ledger(path: str, batch_ids: set, base: Optional[str]) -> None:
     os.replace(tmp, _ledger_path(path))
 
 
+def _batch_key(run_id: str, batch_id: int) -> str:
+    return f"{run_id}-{int(batch_id)}"
+
+
 def append_link_batch(
-    pages: DataFrame, path: str, batch_id: int
+    pages: DataFrame, path: str, batch_id: int, run_id: str = "default"
 ) -> None:
     """Append one micro-batch's host-pair edge delta under
-    ``{path}/deltas/batch_id={batch_id}``.
+    ``{path}/deltas/batch_id={run_id}-{batch_id}``.
+
+    ``run_id`` namespaces the Structured Streaming batch ids, which
+    are only unique PER CHECKPOINT — :func:`start_link_stream` derives
+    it from the checkpoint path, so restarting against a fresh
+    checkpoint can never collide with (and silently drop into) an
+    earlier run's ledger entries or delta partitions.
 
     Idempotent two ways: a replayed batch overwrites its own partition
     with identical content (the extraction is deterministic), and a
     batch the ledger already folded into the base is skipped
-    entirely.
+    entirely.  The dynamic overwrite mode is set per-WRITER (not on
+    the shared session conf), so concurrent appends cannot race each
+    other into a static full-directory overwrite.
     """
-    if batch_id in _load_ledger(path)["batch_ids"]:
+    key = _batch_key(run_id, batch_id)
+    if key in _load_ledger(path)["batch_ids"]:
         return
     edges = host_link_edges(extract_links(pages)).withColumn(
-        "batch_id", F.lit(int(batch_id))
+        "batch_id", F.lit(key)
     )
-    spark = pages.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        edges.write.mode("overwrite").partitionBy("batch_id").parquet(
-            os.path.join(path, "deltas")
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        edges.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(path, "deltas"))
+    )
 
 
 def merged_link_edges(spark: SparkSession, path: str) -> DataFrame:
@@ -130,7 +144,7 @@ def merged_link_edges(spark: SparkSession, path: str) -> DataFrame:
         d = spark.read.parquet(deltas)
         if ledger["batch_ids"]:
             d = d.where(
-                ~F.col("batch_id").isin([int(b) for b in ledger["batch_ids"]])
+                ~F.col("batch_id").isin(sorted(ledger["batch_ids"]))
             )
         parts.append(d.select("src_host", "dst_host", "n_links"))
     if not parts:
@@ -159,9 +173,14 @@ def start_link_stream(
 
         schema = WEBTEXT_SCHEMA
     stream = spark.readStream.schema(schema).parquet(landing_path)
+    import hashlib
+
+    run_id = hashlib.md5(
+        os.path.abspath(checkpoint_path).encode()
+    ).hexdigest()[:8]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        append_link_batch(batch_df, path, batch_id)
+        append_link_batch(batch_df, path, batch_id, run_id=run_id)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
@@ -174,17 +193,46 @@ def start_link_stream(
 def compact_link_edges(spark: SparkSession, path: str) -> None:
     """Fold the currently-visible deltas into a NEW versioned base
     (one shuffle), swap the ledger atomically, then delete only the
-    folded delta partitions and the old base.  Readers are exact at
-    every intermediate state (see module docstring); a delta written
+    folded delta partitions and the old base.  A delta written
     concurrently by a streaming micro-batch is not touched.  Takes the
-    shared writer lock so compactors serialize."""
+    shared writer lock so compactors serialize.
+
+    Self-healing: before folding, any leftover garbage from an
+    interrupted earlier compaction — delta partitions already in the
+    ledger, base directories other than the ledger's current one — is
+    removed, so a crash between the ledger swap and the cleanup loop
+    leaks storage only until the NEXT compaction, never forever.
+
+    Operational caveat: the deletes are immediate.  The merged COUNTS
+    are exact for any reader at any crash point, but a long-running
+    job that planned its scan against the old base before the swap can
+    hit missing-file errors when the old directory is removed — pause
+    compaction around long analytical reads, or snapshot the merged
+    relation first (``merged_link_edges(...).localCheckpoint()``).
+    """
     with write_lock(path):
         ledger = _load_ledger(path)
         deltas_dir = os.path.join(path, "deltas")
+        # self-heal leftovers from an interrupted earlier run
+        for e in os.listdir(path):
+            if (
+                e.startswith("base_v")
+                and e != (ledger["base"] or "")
+            ):
+                shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+        if os.path.isdir(deltas_dir):
+            for e in os.listdir(deltas_dir):
+                if (
+                    e.startswith("batch_id=")
+                    and e.split("=", 1)[1] in ledger["batch_ids"]
+                ):
+                    shutil.rmtree(
+                        os.path.join(deltas_dir, e), ignore_errors=True
+                    )
         if not os.path.isdir(deltas_dir):
             return
         folded = sorted(
-            int(e.split("=", 1)[1])
+            e.split("=", 1)[1]
             for e in os.listdir(deltas_dir)
             if e.startswith("batch_id=")
         )
@@ -209,10 +257,8 @@ def compact_link_edges(spark: SparkSession, path: str) -> None:
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p)
-        merged = (
-            union.groupBy("src_host", "dst_host")
-            .agg(F.sum("n_links").alias("n_links"))
-            .localCheckpoint()
+        merged = union.groupBy("src_host", "dst_host").agg(
+            F.sum("n_links").alias("n_links")
         )
         old_base = ledger["base"]
         version = (

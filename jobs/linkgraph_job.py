@@ -130,14 +130,19 @@ def main() -> int:
             max_anchors_per_target=args.max_anchors,
         )
         roll.write.mode("overwrite").parquet(f"{args.output}/anchors")
-        metrics["anchor_targets"] = roll.count()
+        # count the WRITTEN parquet — recounting `roll` would re-run
+        # the whole extraction + rollup lineage
+        metrics["anchor_targets"] = (
+            spark.read.parquet(f"{args.output}/anchors").count()
+        )
 
     if args.frontier:
         from caterpillar_spark.ops import cap_per_host, crawl_frontier
 
         # robots runs BEFORE the politeness cap so disallowed URLs
-        # never consume a host's frontier slots
-        frontier = crawl_frontier(links, pages.select("url"))
+        # never consume a host's frontier slots; persist the frontier
+        # so the counts and the write share one extraction pass
+        frontier = crawl_frontier(links, pages.select("url")).persist()
         metrics["frontier_raw"] = frontier.count()
         if args.robots:
             from caterpillar_spark.ops import parse_robots, robots_filter
@@ -145,11 +150,12 @@ def main() -> int:
             rules = parse_robots(spark.read.parquet(args.robots))
             frontier = robots_filter(frontier, rules, agent=args.agent)
             metrics["frontier_allowed"] = frontier.count()
-        frontier = cap_per_host(frontier, args.max_per_host)
-        frontier.write.mode("overwrite").parquet(f"{args.output}/frontier")
+        capped = cap_per_host(frontier, args.max_per_host)
+        capped.write.mode("overwrite").parquet(f"{args.output}/frontier")
         metrics["frontier_capped"] = (
             spark.read.parquet(f"{args.output}/frontier").count()
         )
+        frontier.unpersist()
 
     edges.unpersist()
     metrics["wall_sec"] = round(time.time() - t0, 2)

@@ -44,24 +44,39 @@ def test_linkstream_end_to_end(spark, tmp_path):
     got = _edge_map(merged_link_edges(spark, path))
     assert got == want
 
-    # replaying an already-applied batch overwrites its own partition:
+    # replaying an already-applied batch (same run_id as the stream,
+    # derived from the checkpoint path) overwrites its own partition:
     # merged counts unchanged
-    append_link_batch(batch_a, path, 0)
+    import hashlib
+
+    run_id = hashlib.md5(os.path.abspath(ckpt).encode()).hexdigest()[:8]
+    append_link_batch(batch_a, path, 0, run_id=run_id)
     assert _edge_map(merged_link_edges(spark, path)) == want
 
-    # compaction folds deltas into a versioned base; merged view
+    # the SAME batch id from a DIFFERENT run (fresh checkpoint) is a
+    # different key: it must land as a new delta, not overwrite or be
+    # dropped — its edges double the counts for batch A's pairs
+    append_link_batch(batch_a, path, 0, run_id="otherrun")
+    redoubled = _edge_map(merged_link_edges(spark, path))
+    assert redoubled != want
+    a_edges = _edge_map(host_link_edges(extract_links(batch_a)))
+    for k, v in a_edges.items():
+        assert redoubled[k] == want[k] + v
+
+    # compaction folds everything into a versioned base; merged view
     # identical; the folded batch partitions are gone
     compact_link_edges(spark, path)
+    want_plus = dict(redoubled)
     deltas_dir = os.path.join(path, "deltas")
     assert not os.path.isdir(deltas_dir) or not any(
         e.startswith("batch_id=") for e in os.listdir(deltas_dir)
     )
     assert os.path.isdir(os.path.join(path, "base_v1"))
-    assert _edge_map(merged_link_edges(spark, path)) == want
+    assert _edge_map(merged_link_edges(spark, path)) == want_plus
 
     # a replay of a compacted batch is dropped by the ledger
-    append_link_batch(batch_a, path, 0)
-    assert _edge_map(merged_link_edges(spark, path)) == want
+    append_link_batch(batch_a, path, 0, run_id=run_id)
+    assert _edge_map(merged_link_edges(spark, path)) == want_plus
 
     # crash-consistency: even if a folded delta REAPPEARS on disk
     # (compaction interrupted before its cleanup), the read path
@@ -70,20 +85,21 @@ def test_linkstream_end_to_end(spark, tmp_path):
 
     with open(os.path.join(path, "link_ledger.json")) as fh:
         led = _json.load(fh)
-    assert 0 in led["batch_ids"] and led["base"] == "base_v1"
+    assert f"{run_id}-0" in led["batch_ids"] and led["base"] == "base_v1"
     # force-write batch 0's delta again, bypassing the ledger guard
     from caterpillar_spark.ops import extract_links as _el, host_link_edges as _hle
-    d0 = _hle(_el(batch_a)).withColumn("batch_id", F.lit(0))
+    d0 = _hle(_el(batch_a)).withColumn("batch_id", F.lit(f"{run_id}-0"))
     d0.write.mode("append").partitionBy("batch_id").parquet(deltas_dir)
-    assert _edge_map(merged_link_edges(spark, path)) == want
+    assert _edge_map(merged_link_edges(spark, path)) == want_plus
 
     # a genuinely new batch lands as a fresh delta and merges in
     extra = synthetic_webtext(spark, 300, seed=31, partitions=1).where(
         ~F.col("url").isin([r.url for r in full.select("url").collect()])
     )
-    append_link_batch(extra, path, 99)
-    want2 = _edge_map(
-        host_link_edges(extract_links(full.unionByName(extra)))
-    )
-    assert _edge_map(merged_link_edges(spark, path)) == want2
+    append_link_batch(extra, path, 99, run_id=run_id)
+    extra_edges = _edge_map(host_link_edges(extract_links(extra)))
+    want3 = dict(want_plus)
+    for k, v in extra_edges.items():
+        want3[k] = want3.get(k, 0) + v
+    assert _edge_map(merged_link_edges(spark, path)) == want3
     full.unpersist()
