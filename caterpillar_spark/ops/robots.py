@@ -58,7 +58,11 @@ def _parse_one(text) -> List[Tuple[str, bool, str]]:
     if text is None:
         return []
     if isinstance(text, (bytes, bytearray)):
-        text = bytes(text).decode("utf-8", errors="replace")
+        # utf-8-sig: a BOM would otherwise glue onto the first key and
+        # silently disable the file's first directive
+        text = bytes(text).decode("utf-8-sig", errors="replace")
+    else:
+        text = text.lstrip("\ufeff")
     rules: List[Tuple[str, bool, str]] = []
     agents: List[str] = []
     in_group_header = False
@@ -73,7 +77,13 @@ def _parse_one(text) -> List[Tuple[str, bool, str]]:
             if not in_group_header:
                 agents = []
                 in_group_header = True
-            agents.append(val.lower())
+            a = val.lower()
+            agents.append(a)
+            # group-PRESENCE marker (prefix None): an agent group with
+            # no emitted rules must still win group selection per RFC
+            # 9309 ("User-agent: goodbot\nDisallow:" means goodbot may
+            # fetch everything, NOT "fall back to *")
+            rules.append((a, True, None))
         elif key in ("allow", "disallow"):
             in_group_header = False
             if not agents or not val:
@@ -133,8 +143,15 @@ def robots_filter(
     from caterpillar_spark.ops.weburl import host_of
     from pyspark.sql import Window
 
+    for reserved in ("_host", "_path"):
+        if reserved in urls.columns:
+            raise ValueError(
+                f"robots_filter reserves the column name {reserved!r}"
+            )
     a = agent.lower()
     r = rules.where(F.col("agent").isin(a, "*"))
+    # group selection consults ALL rows (incl. presence markers with a
+    # NULL prefix); prefix matching below uses only real rules
     specific = (
         r.where(F.col("agent") == a).select("host").distinct()
         .withColumn("_has_specific", F.lit(True))
@@ -145,6 +162,7 @@ def robots_filter(
             F.when(F.col("_has_specific").isNotNull(), F.col("agent") == a)
             .otherwise(F.col("agent") == "*")
         )
+        .where(F.col("prefix").isNotNull())
         .select("host", "allow", "prefix")
     )
 

@@ -82,6 +82,8 @@ def _save_ledger(path: str, batch_ids: set, base: Optional[str]) -> None:
     tmp = _ledger_path(path) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"batch_ids": sorted(batch_ids), "base": base}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())  # survive power loss, not just crashes
     os.replace(tmp, _ledger_path(path))
 
 
@@ -122,31 +124,34 @@ def append_link_batch(
     )
 
 
-def merged_link_edges(spark: SparkSession, path: str) -> DataFrame:
-    """Exact edge relation = current base ⊕ UNFOLDED deltas, merged on
-    read (link counts are algebraic sums).  Deltas whose batch_id the
-    ledger marks as folded are excluded, so a compaction interrupted
-    between its base write and its delta cleanup never double-counts.
-    """
-    ledger = _load_ledger(path)
+def _list_delta_keys(path: str) -> list:
+    deltas = os.path.join(path, "deltas")
+    if not os.path.isdir(deltas):
+        return []
+    return sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(deltas)
+        if e.startswith("batch_id=")
+    )
+
+
+def _merge_edges(
+    spark: SparkSession, path: str, base: Optional[str], keys: list
+) -> DataFrame:
+    """base ⊕ the named delta partitions, summed per host pair."""
     parts = []
-    if ledger["base"]:
-        base_dir = os.path.join(path, ledger["base"])
+    if base:
         parts.append(
-            spark.read.parquet(base_dir).select(
+            spark.read.parquet(os.path.join(path, base)).select(
                 "src_host", "dst_host", "n_links"
             )
         )
-    deltas = os.path.join(path, "deltas")
-    if os.path.isdir(deltas) and any(
-        e.startswith("batch_id=") for e in os.listdir(deltas)
-    ):
-        d = spark.read.parquet(deltas)
-        if ledger["batch_ids"]:
-            d = d.where(
-                ~F.col("batch_id").isin(sorted(ledger["batch_ids"]))
-            )
-        parts.append(d.select("src_host", "dst_host", "n_links"))
+    if keys:
+        parts.append(
+            spark.read.parquet(os.path.join(path, "deltas"))
+            .where(F.col("batch_id").isin(keys))
+            .select("src_host", "dst_host", "n_links")
+        )
     if not parts:
         raise FileNotFoundError(f"no link edges at {path}")
     union = parts[0]
@@ -155,6 +160,25 @@ def merged_link_edges(spark: SparkSession, path: str) -> DataFrame:
     return union.groupBy("src_host", "dst_host").agg(
         F.sum("n_links").alias("n_links")
     )
+
+
+def merged_link_edges(spark: SparkSession, path: str) -> DataFrame:
+    """Exact edge relation = current base ⊕ UNFOLDED deltas, merged on
+    read (link counts are algebraic sums).
+
+    Ordering matters for racing a concurrent compaction: the delta
+    partitions are LISTED FIRST, the ledger loaded SECOND.  Any listed
+    partition the ledger marks folded is excluded (its counts live in
+    the ledger's base); any partition a compactor folds-and-deletes
+    AFTER our listing is in the loaded (post-swap) ledger too, so it
+    is excluded rather than silently lost.  The exclusion set is the
+    intersection of listed partitions with the ledger — bounded by the
+    compaction crash window, never the store's lifetime batch count.
+    """
+    listed = _list_delta_keys(path)
+    ledger = _load_ledger(path)
+    keys = [k for k in listed if k not in ledger["batch_ids"]]
+    return _merge_edges(spark, path, ledger["base"], keys)
 
 
 def start_link_stream(
@@ -175,8 +199,11 @@ def start_link_stream(
     stream = spark.readStream.schema(schema).parquet(landing_path)
     import hashlib
 
+    # realpath (not abspath): the same checkpoint reached through a
+    # symlink must produce the same run_id, or a replay after restart
+    # would land under a different key and double-count
     run_id = hashlib.md5(
-        os.path.abspath(checkpoint_path).encode()
+        os.path.realpath(checkpoint_path).encode()
     ).hexdigest()[:8]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -243,23 +270,7 @@ def compact_link_edges(spark: SparkSession, path: str) -> None:
         # a delta landing concurrently after this listing must stay out
         # of the new base, or the ledger would miss it and readers
         # would double-count it
-        parts = []
-        if ledger["base"]:
-            parts.append(
-                spark.read.parquet(os.path.join(path, ledger["base"]))
-                .select("src_host", "dst_host", "n_links")
-            )
-        parts.append(
-            spark.read.parquet(deltas_dir)
-            .where(F.col("batch_id").isin(folded))
-            .select("src_host", "dst_host", "n_links")
-        )
-        union = parts[0]
-        for p in parts[1:]:
-            union = union.unionByName(p)
-        merged = union.groupBy("src_host", "dst_host").agg(
-            F.sum("n_links").alias("n_links")
-        )
+        merged = _merge_edges(spark, path, ledger["base"], folded)
         old_base = ledger["base"]
         version = (
             int(old_base.rsplit("_v", 1)[1]) + 1 if old_base else 1
